@@ -1,0 +1,157 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae3d_tpu.models.quantizer import (
+    Quantizer,
+    QuantizerState,
+    ema_update,
+    init_quantizer_state,
+    quantize,
+)
+from vqvae3d_tpu.ops.quantizer_ops import l2_argmin_pallas, l2_argmin_ref
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _brute_force_argmin(flat, embed):
+    d = np.linalg.norm(flat[:, None, :] - embed[None, :, :], axis=-1)
+    return np.argmin(d, axis=1)
+
+
+def test_l2_argmin_ref_matches_brute_force():
+    k1, k2 = jax.random.split(KEY)
+    flat = jax.random.normal(k1, (1000, 8))
+    embed = jax.random.normal(k2, (32, 8))
+    got = np.asarray(l2_argmin_ref(flat, embed))
+    want = _brute_force_argmin(np.asarray(flat), np.asarray(embed))
+    assert (got == want).mean() > 0.999  # allow fp tie noise
+    # chunked path
+    got_chunked = np.asarray(l2_argmin_ref(flat, embed, chunk_size=128))
+    assert (got == got_chunked).all()
+
+
+def test_l2_argmin_pallas_interpret_matches_ref():
+    """Pallas kernel parity (interpret mode on CPU)."""
+    import vqvae3d_tpu.ops.quantizer_ops as qops
+    from jax.experimental import pallas as pl
+
+    k1, k2 = jax.random.split(KEY)
+    flat = jax.random.normal(k1, (512, 8))
+    embed = jax.random.normal(k2, (16, 8))
+
+    # monkeypatch pallas_call to interpret mode for CPU testing
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        got = np.asarray(qops.l2_argmin_pallas.__wrapped__(flat, embed, tile_n=128))
+    finally:
+        pl.pallas_call = orig
+    want = np.asarray(l2_argmin_ref(flat, embed))
+    assert (got == want).mean() > 0.999
+
+
+def test_quantize_straight_through_grads():
+    state = init_quantizer_state(KEY, 8, 4)
+    state = state._replace(initialized=jnp.ones((), jnp.bool_))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 3, 2, 4))
+
+    def f(x):
+        _, q, _, _ = quantize(state, x, train=False)
+        return jnp.sum(q * jnp.arange(q.size).reshape(q.shape))
+
+    g = jax.grad(f)(x)
+    np.testing.assert_allclose(
+        np.asarray(g), np.arange(x.size).reshape(x.shape), rtol=1e-6
+    )
+
+
+def test_commitment_loss_value():
+    state = init_quantizer_state(KEY, 8, 4)
+    state = state._replace(initialized=jnp.ones((), jnp.bool_))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 3, 2, 4))
+    loss, q, idx, _ = quantize(state, x, train=False)
+    qq = np.take(np.asarray(state.embed), np.asarray(idx), axis=0)
+    expected = 0.1 * np.mean((qq - np.asarray(x)) ** 2)
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+def test_first_pass_init_and_ema():
+    k = 16
+    state = init_quantizer_state(KEY, k, 4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 2, 2, 4)) * 3.0 + 1.0
+    flat = np.asarray(x).reshape(-1, 4)
+
+    loss, q, idx, new_state = quantize(state, x, train=True)
+    assert bool(new_state.initialized)
+    # init: embed scaled to batch stats, then one EMA step applied
+    n = flat.shape[0]
+    np.testing.assert_allclose(
+        float(jnp.sum(new_state.cluster_size)),
+        0.99 * n + 0.01 * n,
+        rtol=1e-5,
+    )
+
+    # second call: no re-init
+    _, _, _, state3 = quantize(new_state, x, train=True)
+    assert bool(state3.initialized)
+
+
+def test_ema_update_matches_numpy():
+    k, d = 4, 2
+    rng = np.random.default_rng(0)
+    embed = rng.normal(size=(k, d)).astype(np.float32)
+    avg = rng.normal(size=(k, d)).astype(np.float32)
+    cs = rng.uniform(1, 2, size=(k,)).astype(np.float32)
+    flat = rng.normal(size=(10, d)).astype(np.float32)
+    idx = rng.integers(0, k, size=(10,))
+
+    state = QuantizerState(
+        jnp.asarray(embed), jnp.asarray(avg), jnp.asarray(cs), jnp.ones((), jnp.bool_)
+    )
+    new = ema_update(state, jnp.asarray(flat), jnp.asarray(idx), 0.99, 1e-5)
+
+    counts = np.bincount(idx, minlength=k).astype(np.float32)
+    dw = np.zeros((k, d), np.float32)
+    for i, j in enumerate(idx):
+        dw[j] += flat[i]
+    exp_cs = cs * 0.99 + counts * 0.01
+    exp_avg = avg * 0.99 + dw * 0.01
+    n = exp_cs.sum()
+    smoothed = n * (exp_cs + 1e-5) / (n + k * 1e-5)
+    exp_embed = exp_avg / smoothed[:, None]
+
+    np.testing.assert_allclose(np.asarray(new.cluster_size), exp_cs, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new.embed_avg), exp_avg, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new.embed), exp_embed, rtol=1e-4)
+
+
+def test_quantizer_module_mutability():
+    x = jax.random.normal(KEY, (2, 4, 4, 2, 4))
+    q = Quantizer(num_embeddings=8, embedding_dim=4)
+    variables = q.init(KEY, x, train=False)
+    assert not bool(variables["quantizer"]["initialized"])
+
+    # train step mutates the EMA state
+    (loss, quant, idx), mutated = q.apply(
+        variables, x, train=True, mutable=["quantizer"]
+    )
+    assert bool(mutated["quantizer"]["initialized"])
+    assert quant.shape == x.shape
+    assert idx.shape == x.shape[:-1]
+
+    # eval never mutates
+    loss2, quant2, idx2 = q.apply(variables, x, train=False)
+    assert idx2.shape == x.shape[:-1]
+
+
+def test_quantizer_module_embed_code():
+    x = jax.random.normal(KEY, (1, 2, 2, 2, 4))
+    q = Quantizer(num_embeddings=8, embedding_dim=4)
+    variables = q.init(KEY, x, train=False)
+    idx = jnp.array([[0, 3], [7, 1]])
+    out = q.apply(variables, idx, method=Quantizer.embed_code)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.take(np.asarray(variables["quantizer"]["embed"]), np.asarray(idx), axis=0),
+    )

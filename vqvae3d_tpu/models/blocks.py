@@ -1,0 +1,545 @@
+"""Residual block zoo for the hierarchical 3D VQ-VAE (channels-last, TPU-first).
+
+Re-designs the reference layer zoo (/root/reference/vqvae/layers.py) in flax:
+
+  * ``PreActFixupResBlock`` — pre-activation 3-conv bottleneck Fixup block
+    (layers.py:102-216); the default block (vqvae/model.py:190 maps
+    ``--block-type pre-activation``). Circular ('wrap') padding as in
+    layers.py:109.
+  * ``FixupResBlock`` — 2-conv Fixup block (layers.py:219-303).
+  * ``EvonormResBlock`` + ``EvoNorm3DS0`` — EvoNorm-S0 variant
+    (layers.py:14-98, vqvae/evonorm.py). The reference's hand-written
+    SiLU-velocity backward is a memory optimization only; XLA fuses the
+    forward and rematerializes cheaply, so we keep the composed op.
+  * ``ResizeConv3D`` — trilinear ×2 upsample + conv (layers.py:591-597).
+  * ``DownBlock`` / ``UpBlock`` / ``PreQuantizationConditioning`` —
+    hierarchical plumbing (layers.py:306-387).
+
+Fixup scalar biases/scales are stored as shape-(1,) fp32 params; compute runs
+in the block's ``dtype`` (bf16 by default in the model) with fp32 conv
+accumulation.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vqvae3d_tpu.ops.conv3d import (
+    Conv3D,
+    fixup_branch_init,
+    kaiming_normal_init,
+    torch_conv_default_init,
+    xavier_normal_init,
+)
+from vqvae3d_tpu.ops.resize import trilinear_upsample2x
+
+Dtype = Any
+
+
+def _scalar(module: nn.Module, name: str, value: float = 0.0):
+    return module.param(name, nn.initializers.constant(value), (1,))
+
+
+class ResizeConv3D(nn.Module):
+    """Trilinear ×2 upsample followed by a conv — checkerboard-free upscale."""
+
+    features: int
+    kernel_size: int = 3
+    pad: int = 1
+    pad_mode: str = "zeros"
+    use_bias: bool = True
+    kernel_init: Callable = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = trilinear_upsample2x(x)
+        return Conv3D(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            stride=1,
+            pad=self.pad,
+            pad_mode=self.pad_mode,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+def _mode_conv(
+    mode: str,
+    features: int,
+    pad_mode: str,
+    use_bias: bool,
+    kernel_init,
+    dtype,
+    name: str,
+):
+    """The mode-dependent 'spatial' conv: down=k4s2p1, same/out=k3s1p1,
+    up=ResizeConv3D(k3s1p1)."""
+    if mode == "down":
+        return Conv3D(
+            features=features,
+            kernel_size=4,
+            stride=2,
+            pad=1,
+            pad_mode=pad_mode,
+            use_bias=use_bias,
+            kernel_init=kernel_init,
+            dtype=dtype,
+            name=name,
+        )
+    if mode in ("same", "out"):
+        return Conv3D(
+            features=features,
+            kernel_size=3,
+            stride=1,
+            pad=1,
+            pad_mode=pad_mode,
+            use_bias=use_bias,
+            kernel_init=kernel_init,
+            dtype=dtype,
+            name=name,
+        )
+    if mode == "up":
+        return ResizeConv3D(
+            features=features,
+            kernel_size=3,
+            pad=1,
+            pad_mode=pad_mode,
+            use_bias=use_bias,
+            kernel_init=kernel_init,
+            dtype=dtype,
+            name=name,
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _mode_skip_conv(mode: str, features: int, use_bias: bool, kernel_init, dtype, name):
+    """Skip path: identity-shaped 1x1x1 (or k2s2 for 'down'; upsampling 1x1x1
+    for 'up')."""
+    if mode == "down":
+        return Conv3D(
+            features=features,
+            kernel_size=2,
+            stride=2,
+            pad=0,
+            use_bias=use_bias,
+            kernel_init=kernel_init,
+            dtype=dtype,
+            name=name,
+        )
+    if mode == "up":
+        return ResizeConv3D(
+            features=features,
+            kernel_size=1,
+            pad=0,
+            use_bias=use_bias,
+            kernel_init=kernel_init,
+            dtype=dtype,
+            name=name,
+        )
+    return Conv3D(
+        features=features,
+        kernel_size=1,
+        stride=1,
+        pad=0,
+        use_bias=use_bias,
+        kernel_init=kernel_init,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class PreActFixupResBlock(nn.Module):
+    """Pre-activation bottleneck Fixup block (the default).
+
+    1x1x1 → k (mode conv, circular pad) → 1x1x1, bottleneck_divisor=2,
+    7 scalar biases + 1 scale, optional skip conv when the shape changes.
+    Mirrors /root/reference/vqvae/layers.py:102-216 (init at :197-216).
+    """
+
+    out_channels: int
+    mode: str = "same"
+    num_layers: int = 1  # longest path through the network, for Fixup init
+    bottleneck_divisor: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.mode in ("down", "same", "up", "out")
+        in_channels = x.shape[-1]
+        branch_channels = max(
+            max(in_channels, self.out_channels) // self.bottleneck_divisor, 1
+        )
+        act = nn.elu
+
+        b1a, b1b, b2a, b2b, b3a, b3b, b4 = (
+            _scalar(self, f"bias{n}")
+            for n in ("1a", "1b", "2a", "2b", "3a", "3b", "4")
+        )
+        scale = self.param("scale", nn.initializers.ones_init(), (1,))
+
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        dt = x.dtype
+
+        def s(p):  # scalar in compute dtype
+            return p.astype(dt)
+
+        out = act(x + s(b1a))
+        out = Conv3D(
+            features=branch_channels,
+            kernel_size=1,
+            use_bias=False,
+            kernel_init=fixup_branch_init(self.num_layers),
+            dtype=self.dtype,
+            name="branch_conv1",
+        )(out + s(b1b))
+
+        out = act(out + s(b2a))
+        out = _mode_conv(
+            self.mode,
+            branch_channels,
+            pad_mode="wrap",
+            use_bias=False,
+            kernel_init=kaiming_normal_init(),
+            dtype=self.dtype,
+            name="branch_conv2",
+        )(out + s(b2b))
+
+        out = act(out + s(b3a))
+        out = Conv3D(
+            features=self.out_channels,
+            kernel_size=1,
+            use_bias=False,
+            kernel_init=nn.initializers.zeros_init(),
+            dtype=self.dtype,
+            name="branch_conv3",
+        )(out + s(b3b))
+
+        out = out * s(scale) + s(b4)
+
+        needs_skip = not (
+            self.mode in ("same", "out") and in_channels == self.out_channels
+        )
+        if needs_skip:
+            b1c = _scalar(self, "bias1c")
+            b1d = _scalar(self, "bias1d")
+            skip = _mode_skip_conv(
+                self.mode,
+                self.out_channels,
+                use_bias=False,
+                kernel_init=xavier_normal_init(),
+                dtype=self.dtype,
+                name="skip_conv",
+            )(x + s(b1c))
+            out = out + skip + s(b1d)
+        else:
+            out = out + x
+
+        return out
+
+
+class FixupResBlock(nn.Module):
+    """2-conv Fixup residual block (reference vqvae/layers.py:219-303)."""
+
+    out_channels: int
+    mode: str = "same"
+    num_layers: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.mode in ("down", "same", "up", "out")
+        branch_channels = self.out_channels
+        act = nn.elu
+
+        b1a, b1b, b2a, b2b = (
+            _scalar(self, f"bias{n}") for n in ("1a", "1b", "2a", "2b")
+        )
+        scale = self.param("scale", nn.initializers.ones_init(), (1,))
+
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        dt = x.dtype
+
+        def s(p):
+            return p.astype(dt)
+
+        out = _mode_conv(
+            self.mode,
+            branch_channels,
+            pad_mode="zeros",
+            use_bias=False,
+            kernel_init=fixup_branch_init(self.num_layers),
+            dtype=self.dtype,
+            name="branch_conv1",
+        )(x + s(b1a))
+        out = act(out + s(b1b))
+
+        out = Conv3D(
+            features=self.out_channels,
+            kernel_size=3,
+            stride=1,
+            pad=1,
+            use_bias=False,
+            kernel_init=nn.initializers.zeros_init(),
+            dtype=self.dtype,
+            name="branch_conv2",
+        )(out + s(b2a))
+        out = out * s(scale) + s(b2b)
+
+        out = out + _mode_skip_conv(
+            self.mode,
+            self.out_channels,
+            use_bias=True,
+            kernel_init=kaiming_normal_init(),
+            dtype=self.dtype,
+            name="skip_conv",
+        )(x)
+
+        if self.mode != "out":
+            out = act(out)
+        return out
+
+
+def group_std(x: jax.Array, groups: Optional[int] = None, eps: float = 1e-5):
+    """Per-(batch, group) std over grouped channels + all spatial dims.
+
+    Channels-last analog of /root/reference/vqvae/evonorm.py:8-26 (~8
+    channels per group), with the batch dim handled correctly (the reference
+    reshapes to batch-1 and only works for b==1).
+    """
+    b, *spatial, c = x.shape
+    if groups is None:
+        groups = max(c // 8, 1)
+    assert c % groups == 0
+    xg = x.reshape(b, *spatial, groups, c // groups)
+    axes = tuple(range(1, 1 + len(spatial))) + (x.ndim,)
+    var = jnp.var(xg, axis=axes, keepdims=True)
+    std = jnp.sqrt(var + eps)
+    std = jnp.broadcast_to(std, xg.shape).reshape(x.shape)
+    return std
+
+
+class EvoNorm3DS0(nn.Module):
+    """EvoNorm-S0: x·sigmoid(v·x)·gamma / group_std(x) + beta.
+
+    Parameter shapes/init mirror /root/reference/vqvae/evonorm.py:59-76
+    (v=ones, gamma=zeros, beta=zeros).
+    """
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        v = self.param("v", nn.initializers.ones_init(), (c,))
+        gamma = self.param("gamma", nn.initializers.zeros_init(), (c,))
+        beta = self.param("beta", nn.initializers.zeros_init(), (c,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        xf = x.astype(jnp.float32)
+        num = xf * jax.nn.sigmoid(xf * v)
+        std = group_std(xf)
+        out = num * gamma / std + beta
+        return out.astype(x.dtype)
+
+
+class EvonormResBlock(nn.Module):
+    """EvoNorm-S0 bottleneck residual block (reference vqvae/layers.py:14-98)."""
+
+    out_channels: int
+    mode: str = "same"
+    num_layers: int = 1  # unused; EvoNorm blocks self-init (layers.py:85-98)
+    bottleneck_divisor: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.mode in ("down", "same", "up", "out")
+        mode = "same" if self.mode == "out" else self.mode
+        in_channels = x.shape[-1]
+        branch_channels = max(
+            max(in_channels, self.out_channels) // self.bottleneck_divisor, 1
+        )
+
+        out = EvoNorm3DS0(dtype=self.dtype, name="evonorm_1")(x)
+        out = Conv3D(
+            features=branch_channels,
+            kernel_size=1,
+            use_bias=True,
+            kernel_init=kaiming_normal_init(),
+            dtype=self.dtype,
+            name="branch_conv1",
+        )(out)
+
+        out = EvoNorm3DS0(dtype=self.dtype, name="evonorm_2")(out)
+        out = _mode_conv(
+            mode,
+            branch_channels,
+            pad_mode="zeros",
+            use_bias=True,
+            kernel_init=kaiming_normal_init(),
+            dtype=self.dtype,
+            name="branch_conv2",
+        )(out)
+
+        out = EvoNorm3DS0(dtype=self.dtype, name="evonorm_3")(out)
+        out = Conv3D(
+            features=self.out_channels,
+            kernel_size=1,
+            use_bias=True,
+            kernel_init=kaiming_normal_init(),
+            dtype=self.dtype,
+            name="branch_conv3",
+        )(out)
+
+        needs_skip = not (mode == "same" and in_channels == self.out_channels)
+        if needs_skip:
+            skip = _mode_skip_conv(
+                mode,
+                self.out_channels,
+                use_bias=True,
+                kernel_init=xavier_normal_init(),
+                dtype=self.dtype,
+                name="skip_conv",
+            )(x)
+        else:
+            skip = x
+        return out + skip
+
+
+RESBLOCKS = {
+    "regular": FixupResBlock,
+    "pre-activation": PreActFixupResBlock,
+    "evonorm": EvonormResBlock,
+}
+
+
+class DownBlock(nn.Module):
+    """n_down × (stride-2 'down' resblock doubling channels, then
+    ``n_post_downscale_blocks`` 'same' blocks). Reference layers.py:306-324."""
+
+    in_channels: int
+    n_down: int = 2
+    resblock: str = "pre-activation"
+    n_post_downscale_blocks: int = 0
+    num_layers: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        block = RESBLOCKS[self.resblock]
+        for i in range(self.n_down):
+            ch = self.in_channels * 2 ** (i + 1)
+            x = block(
+                out_channels=ch,
+                mode="down",
+                num_layers=self.num_layers,
+                dtype=self.dtype,
+                name=f"down_{i}",
+            )(x)
+            for j in range(self.n_post_downscale_blocks):
+                x = block(
+                    out_channels=ch,
+                    mode="same",
+                    num_layers=self.num_layers,
+                    dtype=self.dtype,
+                    name=f"down_{i}_post_{j}",
+                )(x)
+        return x
+
+
+class UpBlock(nn.Module):
+    """Mirror of DownBlock with ResizeConv upsampling.
+
+    Channel schedule (reference layers.py:327-354): layer i (from n_up-1 down
+    to 0) maps ``in_channels if i==n_up-1 else out*2**(i+1)`` →
+    ``out*2**i``.
+    """
+
+    in_channels: int
+    out_channels: int
+    n_up: int = 2
+    resblock: str = "pre-activation"
+    n_post_upscale_blocks: int = 0
+    num_layers: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        block = RESBLOCKS[self.resblock]
+        for i in range(self.n_up - 1, -1, -1):
+            ch = self.out_channels * 2**i
+            x = block(
+                out_channels=ch,
+                mode="up",
+                num_layers=self.num_layers,
+                dtype=self.dtype,
+                name=f"up_{i}",
+            )(x)
+            for j in range(self.n_post_upscale_blocks):
+                x = block(
+                    out_channels=ch,
+                    mode="same",
+                    num_layers=self.num_layers,
+                    dtype=self.dtype,
+                    name=f"up_{i}_post_{j}",
+                )(x)
+        return x
+
+
+class PreQuantizationConditioning(nn.Module):
+    """Top-down conditioning in the encoder: upsample the coarser level's
+    quantization, concat, 1x1x1 proj, then a 'same' resblock down to
+    embedding width. Reference layers.py:357-387.
+
+    ``has_aux`` is static: True for every level except the deepest.
+    """
+
+    in_channels: int  # after concat (== feature channels + aux emb dim)
+    out_channels: int  # embedding dim
+    n_up: int = 2
+    resblock: str = "pre-activation"
+    n_post_upscale_blocks: int = 0
+    num_layers: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, aux=None):
+        has_aux = self.in_channels - self.out_channels * 8 != 0
+        assert has_aux == (aux is not None), (
+            "aux must be provided iff this level has a coarser neighbor"
+        )
+        if has_aux:
+            up = UpBlock(
+                in_channels=self.out_channels * 2**self.n_up,
+                out_channels=self.out_channels,
+                n_up=self.n_up,
+                resblock=self.resblock,
+                n_post_upscale_blocks=self.n_post_upscale_blocks,
+                num_layers=self.num_layers,
+                dtype=self.dtype,
+                name="upsample",
+            )(aux)
+            x = jnp.concatenate([x.astype(up.dtype), up], axis=-1)
+            x = Conv3D(
+                features=self.in_channels,
+                kernel_size=1,
+                dtype=self.dtype,
+                name="proj",
+            )(x)
+        block = RESBLOCKS[self.resblock]
+        return block(
+            out_channels=self.out_channels,
+            mode="same",
+            num_layers=self.num_layers,
+            dtype=self.dtype,
+            name="pre_q",
+        )(x)

@@ -1,0 +1,324 @@
+"""Hierarchical 3D VQ-VAE-2: encoder, decoder, and the combined model.
+
+Re-designs /root/reference/vqvae/layers.py:390-588 (Encoder/Encoder2/Decoder)
+and /root/reference/vqvae/model.py:33-246 (VQVAE LightningModule) as pure
+flax modules — the training loop lives in vqvae3d_tpu.train.vqvae_train.
+
+Hierarchy-level convention (critical, matches the reference):
+  encode() returns levels ordered FINE → COARSE. Level 0 is the
+  highest-resolution code grid; level n_enc-1 is the coarsest. The encoder
+  computes deepest-first, threading each level's quantized output as
+  top-down conditioning ('aux') into the next-finer level
+  (reference layers.py:577-588).
+
+TPU-first choices:
+  * channels-last NDHWC; convs hit the MXU via implicit matmul over C.
+  * bf16 compute / fp32 params via the ``dtype`` field; the quantizer is
+    fp32-pinned internally.
+  * optional rematerialization of the deep resblock stacks
+    (``config.remat``) to fit 512×512×128 batches in HBM — replaces the
+    reference's "fp16 + batch-1 barely fits 24GB" memory regime.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vqvae3d_tpu.models.blocks import (
+    RESBLOCKS,
+    DownBlock,
+    PreQuantizationConditioning,
+    UpBlock,
+)
+from vqvae3d_tpu.models.quantizer import Quantizer
+from vqvae3d_tpu.ops.conv3d import Conv3D
+
+
+@dataclasses.dataclass(frozen=True)
+class VQVAEConfig:
+    """Hyperparameters, mirroring vqvae/model.py:213-246 argparse surface."""
+
+    input_channels: int = 1
+    output_channels: int = 1
+    base_network_channels: int = 4
+    n_bottleneck_blocks: int = 3  # number of hierarchy levels (n_enc)
+    n_blocks_per_bottleneck: int = 2  # downscales per level (×4 spatial)
+    n_pre_quantization_blocks: int = 0
+    n_post_quantization_blocks: int = 0
+    n_post_upscale_blocks: int = 0
+    n_post_downscale_blocks: int = 0
+    num_embeddings: Tuple[int, ...] = (256, 256, 256)  # fine → coarse
+    block_type: str = "pre-activation"
+    encoder_variant: str = "encoder2"  # 'encoder2' (default) | 'encoder' (legacy)
+    commitment_cost: float = 0.1
+    ema_decay: float = 0.99
+    laplace_alpha: float = 1e-5
+    metric: str = "huber"
+    base_lr: float = 1e-5
+    extract_center_cylinder: bool = True
+    dtype: Any = jnp.bfloat16
+    remat: bool = True
+    argmin_method: str = "auto"
+
+    def __post_init__(self):
+        assert self.block_type in RESBLOCKS
+        assert self.encoder_variant in ("encoder2", "encoder")
+        assert len(self.num_embeddings) in (1, self.n_bottleneck_blocks)
+        if len(self.num_embeddings) == 1:
+            object.__setattr__(
+                self,
+                "num_embeddings",
+                tuple(self.num_embeddings) * self.n_bottleneck_blocks,
+            )
+        else:
+            object.__setattr__(self, "num_embeddings", tuple(self.num_embeddings))
+
+    @property
+    def n_enc(self) -> int:
+        return self.n_bottleneck_blocks
+
+    @property
+    def level_channels(self) -> List[int]:
+        """Feature channels after each level's DownBlock (fine → coarse)."""
+        return [
+            self.base_network_channels * 2 ** (self.n_blocks_per_bottleneck * (i + 1))
+            for i in range(self.n_enc)
+        ]
+
+    @property
+    def embedding_dims(self) -> List[int]:
+        """Codebook embedding dim per level (fine → coarse): channels // 8."""
+        for ch in self.level_channels:
+            assert ch % 8 == 0
+        return [ch // 8 for ch in self.level_channels]
+
+    @property
+    def downscale_factor(self) -> int:
+        """Spatial reduction of the finest code grid w.r.t. the input."""
+        return 2**self.n_blocks_per_bottleneck
+
+    @property
+    def num_layers(self) -> int:
+        """Longest path through the model — Fixup init scale
+        (vqvae/model.py:193-203)."""
+        n_down = self.n_bottleneck_blocks * self.n_blocks_per_bottleneck
+        return (
+            2
+            + 2 * n_down
+            + self.n_pre_quantization_blocks
+            + self.n_post_quantization_blocks
+            + self.n_post_downscale_blocks * n_down
+            + self.n_post_upscale_blocks * n_down
+            + 1
+        )
+
+    def code_grid_shapes(self, volume_shape: Sequence[int]) -> List[Tuple[int, ...]]:
+        """Code-grid spatial shapes (fine → coarse) for a given input volume."""
+        shapes = []
+        f = self.downscale_factor
+        cur = tuple(volume_shape)
+        for _ in range(self.n_enc):
+            cur = tuple(s // f for s in cur)
+            shapes.append(cur)
+        return shapes
+
+
+def _maybe_remat(cls, enable: bool):
+    return nn.remat(cls) if enable else cls
+
+
+class Encoder(nn.Module):
+    """Hierarchical encoder (default 'encoder2' variant, layers.py:519-588).
+
+    Per level: DownBlock (n stride-2 halvings, channels ×2 each) →
+    PreQuantizationConditioning (concat upsampled coarser quantization) →
+    pre-q 'same' blocks at embedding width → Quantizer. Levels are processed
+    deepest-first; the legacy 'encoder' variant (layers.py:390-460) applies
+    the pre-q blocks at full feature width *before* conditioning.
+    """
+
+    config: VQVAEConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        nl = cfg.num_layers
+        down_cls = _maybe_remat(DownBlock, cfg.remat)
+        block = RESBLOCKS[cfg.block_type]
+        block_r = _maybe_remat(block, cfg.remat)
+
+        x = Conv3D(
+            features=cfg.base_network_channels,
+            kernel_size=1,
+            dtype=cfg.dtype,
+            name="parse_input",
+        )(x)
+
+        downs = []
+        before = cfg.base_network_channels
+        for i in range(cfg.n_enc):
+            x = down_cls(
+                in_channels=before,
+                n_down=cfg.n_blocks_per_bottleneck,
+                resblock=cfg.block_type,
+                n_post_downscale_blocks=cfg.n_post_downscale_blocks,
+                num_layers=nl,
+                dtype=cfg.dtype,
+                name=f"down_{i}",
+            )(x)
+            before *= 2**cfg.n_blocks_per_bottleneck
+            downs.append(x)
+
+        emb_dims = cfg.embedding_dims
+        chans = cfg.level_channels
+
+        aux = None
+        results = []  # appended coarse → fine
+        for i in reversed(range(cfg.n_enc)):
+            h = downs[i]
+            in_ch = chans[i] + (emb_dims[i] if i != cfg.n_enc - 1 else 0)
+
+            if cfg.encoder_variant == "encoder":
+                # legacy: pre-q blocks at full width before conditioning
+                for j in range(cfg.n_pre_quantization_blocks):
+                    h = block_r(
+                        out_channels=chans[i],
+                        mode="same",
+                        num_layers=nl,
+                        dtype=cfg.dtype,
+                        name=f"pre_quantize_{i}_{j}",
+                    )(h)
+
+            h = PreQuantizationConditioning(
+                in_channels=in_ch,
+                out_channels=emb_dims[i],
+                n_up=cfg.n_blocks_per_bottleneck,
+                resblock=cfg.block_type,
+                n_post_upscale_blocks=cfg.n_post_upscale_blocks,
+                num_layers=nl,
+                dtype=cfg.dtype,
+                name=f"pre_quantize_cond_{i}",
+            )(h, aux)
+
+            if cfg.encoder_variant == "encoder2":
+                for j in range(cfg.n_pre_quantization_blocks):
+                    h = block_r(
+                        out_channels=emb_dims[i],
+                        mode="same",
+                        num_layers=nl,
+                        dtype=cfg.dtype,
+                        name=f"pre_quantize_{i}_{j}",
+                    )(h)
+
+            loss, quantized, indices = Quantizer(
+                num_embeddings=cfg.num_embeddings[i],
+                embedding_dim=emb_dims[i],
+                commitment_cost=cfg.commitment_cost,
+                decay=cfg.ema_decay,
+                laplace_alpha=cfg.laplace_alpha,
+                argmin_method=cfg.argmin_method,
+                name=f"quantize_{i}",
+            )(h, train=train)
+            results.append((loss, quantized, indices))
+            aux = quantized
+
+        return list(reversed(results))  # fine → coarse
+
+
+class Decoder(nn.Module):
+    """Hierarchical decoder (reference layers.py:463-517).
+
+    Coarse → fine: at each level concat the level's code grid with the
+    upsampled previous output (1x1x1 proj), run post-q 'same' blocks, then an
+    UpBlock; finish with a 1x1x1 out conv.
+    """
+
+    config: VQVAEConfig
+
+    @nn.compact
+    def __call__(self, quantizations, train: bool = False):
+        cfg = self.config
+        nl = cfg.num_layers
+        block_r = _maybe_remat(RESBLOCKS[cfg.block_type], cfg.remat)
+        up_cls = _maybe_remat(UpBlock, cfg.remat)
+
+        emb_dims = cfg.embedding_dims
+        n_up = cfg.n_blocks_per_bottleneck
+
+        out = None
+        for i in reversed(range(cfg.n_enc)):
+            # after_channels at level i == UpBlock output channels
+            out_ch = cfg.base_network_channels * 2 ** (n_up * i)
+            before_ch = out_ch * 2**n_up
+            in_ch = emb_dims[i] + (before_ch if i != cfg.n_enc - 1 else 0)
+
+            q = quantizations[i].astype(cfg.dtype) if cfg.dtype else quantizations[i]
+            if i != cfg.n_enc - 1:
+                h = jnp.concatenate([q, out], axis=-1)
+                h = Conv3D(
+                    features=in_ch, kernel_size=1, dtype=cfg.dtype, name=f"proj_{i}"
+                )(h)
+            else:
+                h = q
+
+            for j in range(cfg.n_post_quantization_blocks):
+                h = block_r(
+                    out_channels=in_ch,
+                    mode="same",
+                    num_layers=nl,
+                    dtype=cfg.dtype,
+                    name=f"post_quantize_{i}_{j}",
+                )(h)
+
+            out = up_cls(
+                in_channels=in_ch,
+                out_channels=out_ch,
+                n_up=n_up,
+                resblock=cfg.block_type,
+                n_post_upscale_blocks=cfg.n_post_upscale_blocks,
+                num_layers=nl,
+                dtype=cfg.dtype,
+                name=f"up_{i}",
+            )(h)
+
+        return Conv3D(
+            features=cfg.output_channels, kernel_size=1, dtype=cfg.dtype, name="out"
+        )(out)
+
+
+class VQVAE(nn.Module):
+    """Encoder + Decoder. ``__call__`` returns
+    (decoded, (commitment_losses, quantizations, encoding_indices)) with the
+    per-level tuples ordered fine → coarse (reference vqvae/model.py:79-89).
+    """
+
+    config: VQVAEConfig
+
+    def setup(self):
+        self.encoder = Encoder(self.config, name="encoder")
+        self.decoder = Decoder(self.config, name="decoder")
+
+    def __call__(self, x, train: bool = False):
+        results = self.encode(x, train=train)
+        losses, quantizations, indices = zip(*results)
+        decoded = self.decode(quantizations, train=train)
+        return decoded, (losses, quantizations, indices)
+
+    def encode(self, x, train: bool = False):
+        return self.encoder(x, train=train)
+
+    def decode(self, quantizations, train: bool = False):
+        return self.decoder(quantizations, train=train)
+
+def embed_code(variables, level: int, indices: jax.Array) -> jax.Array:
+    """Functional codebook lookup from a full VQVAE variable tree.
+
+    indices: (...,) int code grid → (..., D) fp32 embeddings (used by
+    decode_embeddings; reference vqvae/decode_embeddings.py:34-38).
+    """
+    embed = variables["quantizer"]["encoder"][f"quantize_{level}"]["embed"]
+    return jnp.take(embed, indices, axis=0)

@@ -1,0 +1,69 @@
+"""Resampling ops for NDHWC volumes.
+
+  * ``trilinear_upsample2x`` — ×2 trilinear upsampling with half-pixel
+    centers, matching torch ``Upsample(mode='trilinear',
+    align_corners=False)`` (reference ResizeConv3D, vqvae/layers.py:591-597).
+  * ``trilinear_resize`` — arbitrary-size trilinear (for prior conditioning
+    upsampling, pixel_model/pixelcnn.py:116-119).
+  * ``area_resize`` — area/adaptive-average-pool downscale, matching torch
+    ``F.interpolate(mode='area')`` for integer shrink factors (the only case
+    the reference pipeline uses: 512→256, utils/load_nrrd_dataset.py:86).
+  * ``nearest_upsample`` — integer-factor nearest (utility).
+
+All implemented with XLA-friendly static shapes; trilinear resize lowers to
+gathers+lerps that XLA fuses.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def trilinear_resize(x: jax.Array, size: Sequence[int]) -> jax.Array:
+    """Resize spatial dims of an NDHWC tensor to ``size`` (3 ints).
+
+    Half-pixel centers (align_corners=False), same as
+    ``jax.image.resize(method='trilinear')`` and torch's default.
+    """
+    n, *_, c = x.shape
+    out_shape = (n, *size, c)
+    orig_dtype = x.dtype
+    out = jax.image.resize(x.astype(jnp.float32), out_shape, method="trilinear")
+    return out.astype(orig_dtype)
+
+
+def trilinear_upsample2x(x: jax.Array) -> jax.Array:
+    """×2 trilinear upsample of all three spatial dims (NDHWC)."""
+    _, d, h, w, _ = x.shape
+    return trilinear_resize(x, (2 * d, 2 * h, 2 * w))
+
+
+def nearest_upsample(x: jax.Array, factor: int) -> jax.Array:
+    """Integer-factor nearest-neighbor upsample of NDHWC spatial dims."""
+    for axis in (1, 2, 3):
+        x = jnp.repeat(x, factor, axis=axis)
+    return x
+
+
+def area_resize(x: jax.Array, size: Sequence[int]) -> jax.Array:
+    """Area-interpolation downscale for integer shrink factors.
+
+    Equivalent to torch ``F.interpolate(mode='area')`` when every input dim is
+    an integer multiple of the output dim (adaptive average pooling with
+    uniform bins). The reference pipeline only ever area-resizes 512→256 with
+    depth unchanged, which satisfies this.
+    """
+    n, d, h, w, c = x.shape
+    td, th, tw = size
+    assert d % td == 0 and h % th == 0 and w % tw == 0, (
+        f"area_resize requires integer shrink factors, got {(d, h, w)} -> {size}"
+    )
+    fd, fh, fw = d // td, h // th, w // tw
+    if (fd, fh, fw) == (1, 1, 1):
+        return x
+    orig_dtype = x.dtype
+    out = x.astype(jnp.float32).reshape(n, td, fd, th, fh, tw, fw, c)
+    out = out.mean(axis=(2, 4, 6))
+    return out.astype(orig_dtype)
