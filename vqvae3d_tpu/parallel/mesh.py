@@ -1,0 +1,59 @@
+"""Device-mesh and sharding helpers.
+
+The reference's only parallelism is DDP data-parallel over NCCL
+(/root/reference/vqvae/train.py:27, slurm-jobs/train_vqvae_3d.job). The
+TPU-native equivalent: a ``jax.sharding.Mesh`` with axes
+
+  * ``data``  — batch data-parallelism (the DDP analog),
+  * ``space`` — optional spatial sharding of the volume's H axis for
+    512×512×128 inputs whose activations outgrow one chip's HBM; XLA
+    inserts halo exchanges for the stride/overlap of 3D convs over ICI.
+
+All cross-device communication (gradient reductions, quantizer EMA cluster
+stats — the reference's hand-written all_reduce at vqvae/layers.py:645-647)
+is derived by GSPMD from these shardings; there are no hand-written
+collectives in the model code.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    mesh_shape: Optional[Tuple[int, ...]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    """Create a mesh over all (or the given) devices.
+
+    Default: 1-D 'data' mesh over every addressable device. Pass
+    mesh_shape=(d, s) with axis_names=('data', 'space') for combined
+    batch × spatial sharding.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if mesh_shape is None:
+        mesh_shape = (len(devices),)
+    assert int(np.prod(mesh_shape)) == len(devices), (mesh_shape, len(devices))
+    dev_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard dim 0 on 'data'; remaining dims replicated."""
+    return NamedSharding(mesh, P("data", *(None,) * (ndim - 1)))
+
+
+def volume_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, D, C) volumes: batch on 'data', H on 'space' if present."""
+    if "space" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "space", None, None, None))
+    return NamedSharding(mesh, P("data", None, None, None, None))
