@@ -1,0 +1,95 @@
+"""Benchmark: full-resolution encode+quantize+decode throughput on one chip.
+
+North star (BASELINE.md): encode + quantize + decode one 512×512×128 CT
+volume in < 1 s on v5e-8 ⇒ baseline 1.0 volumes/sec/chip. The reference
+itself publishes no numbers (README.md has none); this measures our
+flagship 3-level model (reference full config: codebooks 128/256/512,
+50 pre-q + 50 post-q blocks, 3 post-upscale, 2 post-downscale —
+slurm-jobs/train_vqvae_3d.job:74-88) in bf16 eval mode.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+VOL = (512, 512, 128)
+BASELINE_VOL_PER_SEC = 1.0  # <1 s/volume target on v5e
+
+
+def main():
+    from vqvae3d_tpu.models.vqvae import VQVAE, VQVAEConfig
+
+    full_blocks = os.environ.get("BENCH_FULL_BLOCKS", "1") == "1"
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=3,
+        num_embeddings=(128, 256, 512),
+        n_pre_quantization_blocks=50 if full_blocks else 2,
+        n_post_quantization_blocks=50 if full_blocks else 2,
+        n_post_upscale_blocks=3 if full_blocks else 1,
+        n_post_downscale_blocks=2 if full_blocks else 1,
+        dtype=jnp.bfloat16,
+        remat=False,  # eval: no backward, no remat needed
+    )
+    model = VQVAE(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    # init is shape-agnostic for conv params — init on a small volume
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, jnp.zeros((1, 64, 64, 64, 1), jnp.bfloat16), train=False
+    )
+
+    @jax.jit
+    def forward(variables, x):
+        decoded, (losses, _, indices) = model.apply(variables, x, train=False)
+        return decoded, indices
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.5, 4.0, (1, *VOL, 1)), jnp.bfloat16
+    )
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    out = forward(variables, x)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    vols_per_sec = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "512x512x128_encode_quantize_decode_volumes_per_sec_per_chip",
+                "value": round(vols_per_sec, 4),
+                "unit": "volumes/sec",
+                "vs_baseline": round(vols_per_sec / BASELINE_VOL_PER_SEC, 4),
+                "extra": {
+                    "sec_per_volume": round(dt, 4),
+                    "compile_sec": round(compile_s, 1),
+                    "backend": jax.default_backend(),
+                    "full_blocks": full_blocks,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

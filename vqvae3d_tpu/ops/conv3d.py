@@ -69,6 +69,25 @@ def conv3d(
     if not isinstance(padding, str):
         x = pad3d(x, padding, mode=pad_mode)
         padding = "VALID"
+    # 1×1×1 stride-1 convs lower far better as a plain contraction over the
+    # channel axis (dot_general) than as lax.conv — XLA's TPU conv path can
+    # materialize halo-split fp32 buffers with degenerate (C=1) trailing dims
+    # padded to full 128-lane tiles (observed: an 18 GB buffer for the C=1
+    # parse_input conv at 512×512×128).
+    if (
+        w.shape[:3] == (1, 1, 1)
+        and _triple(stride) == (1, 1, 1)
+        and groups == 1
+    ):
+        out = jax.lax.dot_general(
+            x,
+            w[0, 0, 0].astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if b is not None:
+            out = out + b.astype(jnp.float32)
+        return out.astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),

@@ -74,12 +74,17 @@ def _l2_argmin_kernel(xt_ref, e_ref, e2_ref, out_ref):
     """
     xt = xt_ref[:]  # (D, TN)
     e = e_ref[:]  # (K, D)
-    # (K, D) @ (D, TN) -> (K, TN) on the MXU, fp32 accumulation.
+    # (K, D) @ (D, TN) -> (K, TN) on the MXU. Precision.HIGHEST forces the
+    # multi-pass bf16 decomposition for fp32-exact products — the single-pass
+    # default truncates operands to bf16 and mis-assigns ~5% of codes
+    # (the TPU analog of the reference's "mm is too inaccurate" note,
+    # vqvae/layers.py:698-701).
     xe = jax.lax.dot_general(
         e,
         xt,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     # |x|² is constant across K — irrelevant for the argmin. dist ∝ e² − 2x·e.
     dists = e2_ref[:] - 2.0 * xe  # (K, TN)

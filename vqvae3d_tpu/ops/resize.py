@@ -34,10 +34,49 @@ def trilinear_resize(x: jax.Array, size: Sequence[int]) -> jax.Array:
     return out.astype(orig_dtype)
 
 
+def _linear_upsample2x_axis(x: jax.Array, axis: int) -> jax.Array:
+    """×2 linear upsample along one axis, half-pixel centers, edge-clamped.
+
+    For scale 2 / align_corners=False the weights are fixed: output 2i is
+    0.75·x[i] + 0.25·x[i−1]; output 2i+1 is 0.75·x[i] + 0.25·x[i+1] (clamped
+    at the edges). Pure shifts + lerps + an interleave — XLA fuses this,
+    unlike the gather-based general resize whose intermediates tile
+    catastrophically on TPU for small trailing dims.
+    """
+    n = x.shape[axis]
+
+    def shift(arr, offset):
+        # edge-clamped neighbor along `axis`
+        idx_lo = [slice(None)] * arr.ndim
+        idx_hi = [slice(None)] * arr.ndim
+        if offset == -1:  # x[i-1]
+            idx_lo[axis] = slice(0, 1)
+            idx_hi[axis] = slice(0, n - 1)
+        else:  # x[i+1]
+            idx_lo[axis] = slice(1, n)
+            idx_hi[axis] = slice(n - 1, n)
+        return jnp.concatenate([arr[tuple(idx_lo)], arr[tuple(idx_hi)]], axis=axis)
+
+    prev = shift(x, -1)
+    nxt = shift(x, +1)
+    even = 0.75 * x + 0.25 * prev
+    odd = 0.75 * x + 0.25 * nxt
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    return stacked.reshape(new_shape)
+
+
 def trilinear_upsample2x(x: jax.Array) -> jax.Array:
-    """×2 trilinear upsample of all three spatial dims (NDHWC)."""
-    _, d, h, w, _ = x.shape
-    return trilinear_resize(x, (2 * d, 2 * h, 2 * w))
+    """×2 trilinear upsample of all three spatial dims (NDHWC).
+
+    Matches torch Upsample(mode='trilinear', scale_factor=2,
+    align_corners=False) — trilinear with factor 2 separates into three
+    1-D passes.
+    """
+    for axis in (1, 2, 3):
+        x = _linear_upsample2x_axis(x, axis)
+    return x
 
 
 def nearest_upsample(x: jax.Array, factor: int) -> jax.Array:
