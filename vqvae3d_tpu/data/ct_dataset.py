@@ -1,0 +1,184 @@
+"""CT scan dataset + batched, prefetching data module.
+
+Re-designs /root/reference/utils/load_nrrd_dataset.py for a JAX host
+pipeline:
+
+  * ``CTScanDataset`` — globs ``**/*.nrrd``, header-filters scans by exact
+    (H, W) size and voxel spacing with warnings (reference :130-155), reads
+    volumes as float32 and applies the transform chain: HU window/scale/
+    shift → depth pad+valid-slice label → optional area rescale
+    (reference :75-86; DepthPadAndCrop must run before the rescale).
+  * ``CTDataModule`` — seeded 95/5 train/val split (reference :90-94),
+    shuffled, drop-last batch iteration with a background thread pool for
+    decode + a one-batch prefetch queue feeding device transfers (replaces
+    torch DataLoader(num_workers=5, pin_memory) — reference :105-109).
+
+Batches are dicts {'volume': (B, H, W, D, 1) f32, 'num_valid_slices': (B,)}
+matching the train step contract.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import warnings
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vqvae3d_tpu.data import nrrd_io
+from vqvae3d_tpu.data.transforms import depth_pad_and_crop, hu_window_normalize
+
+
+class CTScanDataset:
+    """NRRD CT volumes with header-based compatibility filtering."""
+
+    def __init__(
+        self,
+        root: str,
+        size: Tuple[Optional[int], Optional[int], Optional[int]] = (512, 512, None),
+        spacing: Optional[Tuple[float, float, float]] = (0.976, 0.976, 3),
+        ext: str = ".nrrd",
+        output_depth: int = 128,
+        rescale_input: Optional[Tuple[int, int, int]] = None,
+    ):
+        scans = sorted(str(p) for p in Path(root).glob(f"**/*{ext}"))
+        keep = []
+        for scan in scans:
+            try:
+                header = nrrd_io.read_header(scan)
+            except Exception as e:  # unreadable file
+                warnings.warn(f"Skipping unreadable scan {scan}: {e}")
+                continue
+            sizes = header["sizes"]
+            ok = True
+            for want, got in zip(size, sizes):
+                if want is not None and int(got) != want:
+                    warnings.warn(
+                        f"Scan {scan} size {tuple(sizes)} doesn't match {size}; ignoring"
+                    )
+                    ok = False
+                    break
+            if ok and spacing is not None:
+                sp = _header_spacing(header)
+                if sp is None or not np.allclose(sp, spacing, atol=1e-3):
+                    warnings.warn(
+                        f"Scan {scan} spacing {sp} doesn't match {spacing}; ignoring"
+                    )
+                    ok = False
+            if ok:
+                keep.append(scan)
+        self.scans = keep
+        self.output_depth = output_depth
+        self.rescale_input = tuple(rescale_input) if rescale_input else None
+
+    def __len__(self) -> int:
+        return len(self.scans)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, int]:
+        """→ (volume (H, W, D, 1) float32 normalized, num_valid_slices)."""
+        data, _ = nrrd_io.read(self.scans[index])
+        vol = hu_window_normalize(data)
+        vol, num_valid = depth_pad_and_crop(vol, self.output_depth)
+        if self.rescale_input is not None:
+            vol = _area_rescale_np(vol, self.rescale_input)
+        return vol[..., None], num_valid
+
+
+def _header_spacing(header) -> Optional[np.ndarray]:
+    if "space directions" in header:
+        sd = np.asarray(header["space directions"], dtype=np.float64)
+        return np.array([sd[i, i] for i in range(min(3, sd.shape[0]))])
+    if "spacings" in header:
+        return np.asarray(header["spacings"], dtype=np.float64)
+    return None
+
+
+def _area_rescale_np(vol: np.ndarray, size: Sequence[int]) -> np.ndarray:
+    """Integer-factor area downscale on the host (numpy)."""
+    h, w, d = vol.shape
+    th, tw, td = size
+    assert h % th == 0 and w % tw == 0 and d % td == 0, (vol.shape, size)
+    fh, fw, fd = h // th, w // tw, d // td
+    return (
+        vol.reshape(th, fh, tw, fw, td, fd).mean(axis=(1, 3, 5)).astype(vol.dtype)
+    )
+
+
+class CTDataModule:
+    """Split + batched iteration with background decode and prefetch."""
+
+    def __init__(
+        self,
+        path: str,
+        batch_size: int = 1,
+        train_frac: float = 0.95,
+        num_workers: int = 5,
+        rescale_input: Optional[Tuple[int, int, int]] = None,
+        seed: int = 42,
+        output_depth: int = 128,
+        size: Tuple[Optional[int], Optional[int], Optional[int]] = (512, 512, None),
+        spacing: Optional[Tuple[float, float, float]] = (0.976, 0.976, 3),
+    ):
+        assert 0 <= train_frac <= 1
+        self.path = path
+        self.batch_size = batch_size
+        self.train_frac = train_frac
+        self.num_workers = num_workers
+        self.seed = seed
+        self.dataset = CTScanDataset(
+            path,
+            size=size,
+            spacing=spacing,
+            output_depth=output_depth,
+            rescale_input=rescale_input,
+        )
+        n = len(self.dataset)
+        train_len = int(n * train_frac)
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(n)
+        self.train_indices = perm[:train_len]
+        self.val_indices = perm[train_len:]
+
+    def _iter(self, indices, shuffle: bool, epoch: int = 0) -> Iterator[dict]:
+        idx = np.array(indices)
+        if shuffle:
+            rng = np.random.default_rng(self.seed + 1 + epoch)
+            idx = rng.permutation(idx)
+        bs = self.batch_size
+        n_batches = len(idx) // bs  # drop_last
+        if n_batches == 0:
+            return
+
+        def load_batch(b):
+            samples = [self.dataset[int(i)] for i in idx[b * bs : (b + 1) * bs]]
+            vols = np.stack([s[0] for s in samples])
+            nvs = np.array([s[1] for s in samples], np.int32)
+            return {"volume": vols, "num_valid_slices": nvs}
+
+        with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
+            prefetch = 2
+            futures = queue.Queue()
+            for b in range(min(prefetch, n_batches)):
+                futures.put(pool.submit(load_batch, b))
+            for b in range(n_batches):
+                batch = futures.get().result()
+                nxt = b + prefetch
+                if nxt < n_batches:
+                    futures.put(pool.submit(load_batch, nxt))
+                yield batch
+
+    def train_dataloader(self, epoch: int = 0) -> Iterator[dict]:
+        return self._iter(self.train_indices, shuffle=True, epoch=epoch)
+
+    def val_dataloader(self) -> Iterator[dict]:
+        return self._iter(self.val_indices, shuffle=False)
+
+    @property
+    def train_len(self) -> int:
+        return len(self.train_indices)
+
+    @property
+    def val_len(self) -> int:
+        return len(self.val_indices)
