@@ -1,0 +1,112 @@
+"""PixelCNN prior over one hierarchy level's code grid.
+
+Re-designs /root/reference/pixel_model/pixelcnn.py as a pure flax module:
+one-hot codes → 1x1x1 ``parse_input`` → N+1 causal resblocks (first mask
+'A', rest 'B') with per-block conditioning on the trilinearly-upsampled
+one-hot of the next-coarser grid → 1x1x1 ``parse_output`` logits
+(reference :39-79, :298-315).
+
+The training loss (cross-entropy + optional mixup + bits/dim) lives in
+vqvae3d_tpu.train.prior_train; sampling in vqvae3d_tpu.sample.ar_sample.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vqvae3d_tpu.models.causal_blocks import (
+    FixupCausalResBlock,
+    PreActFixupCausalResBlock,
+    input_to_stack,
+    stack_to_output,
+)
+from vqvae3d_tpu.ops.conv3d import Conv3D
+
+
+@dataclasses.dataclass(frozen=True)
+class PixelCNNConfig:
+    """Mirrors pixelcnn.py:185-211 argparse surface."""
+
+    input_dim: int = 256  # codebook size of this level
+    condition_dim: int = 0  # codebook size of the coarser level (0 = none)
+    model_dim: int = 32
+    kernel_size: int = 3
+    num_resblocks: int = 18
+    dropout_prob: float = 0.5
+    use_pre_activation: bool = True
+    bottleneck_divisor: int = 4
+    use_concat_activation: bool = False
+    mixup_alpha: float = 0.0  # 0 disables mixup
+    lr: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def use_conditioning(self) -> bool:
+        return self.condition_dim > 0
+
+    @property
+    def num_layers(self) -> int:
+        return self.num_resblocks + 1
+
+
+class PixelCNN(nn.Module):
+    config: PixelCNNConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        data: jax.Array,  # (B, s0, s1, s2, input_dim) one-hot (or mixup-soft)
+        condition: Optional[jax.Array] = None,  # (B, s0, s1, s2, condition_dim)
+        train: bool = False,
+    ) -> jax.Array:
+        cfg = self.config
+        assert (condition is not None) == cfg.use_conditioning
+
+        h = Conv3D(
+            features=cfg.model_dim, kernel_size=1, dtype=cfg.dtype, name="parse_input"
+        )(data)
+        stack = input_to_stack(h)
+
+        cond_embedded = None
+        if cfg.use_conditioning:
+            cond_embedded = Conv3D(
+                features=cfg.model_dim,
+                kernel_size=1,
+                dtype=cfg.dtype,
+                name="embed_condition",
+            )(condition)
+
+        block_cls = (
+            PreActFixupCausalResBlock if cfg.use_pre_activation else FixupCausalResBlock
+        )
+        for i in range(cfg.num_resblocks + 1):
+            kwargs = dict(
+                out_channels=cfg.model_dim,
+                kernel_size=cfg.kernel_size,
+                mask="A" if i == 0 else "B",
+                dropout_prob=cfg.dropout_prob,
+                num_layers=cfg.num_layers,
+                dtype=cfg.dtype,
+                name=f"layer_{i}",
+            )
+            if cfg.use_pre_activation:
+                kwargs.update(
+                    condition_dim=cfg.model_dim if cfg.use_conditioning else 0,
+                    bottleneck_divisor=cfg.bottleneck_divisor,
+                    concat_activation=cfg.use_concat_activation,
+                )
+                stack = block_cls(**kwargs)(
+                    stack, condition=cond_embedded, train=train
+                )
+            else:
+                stack = block_cls(**kwargs)(stack, train=train)
+
+        out = stack_to_output(stack)
+        logits = Conv3D(
+            features=cfg.input_dim, kernel_size=1, dtype=cfg.dtype, name="parse_output"
+        )(out)
+        return logits.astype(jnp.float32)

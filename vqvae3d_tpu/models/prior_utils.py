@@ -1,0 +1,103 @@
+"""Shared helpers for the autoregressive priors.
+
+JAX equivalents of /root/reference/pixel_model/train_helpers.py:
+``bits_per_dim`` (:10), one-hot encoding (:14), mixup with a
+derangement permutation (:20-55, Sattolo's algorithm) and the mixed
+criterion (:58-63); plus the PixelSNAIL coordinate background
+(pixelsnail.py:283-293).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bits_per_dim(mean_nll: jax.Array) -> jax.Array:
+    """Natural-log NLL → bits/dim."""
+    return mean_nll / jnp.log(2.0)
+
+
+def idx_to_one_hot(data: jax.Array, num_classes: int, dtype=jnp.float32) -> jax.Array:
+    """(..., ) int grid → (..., num_classes) one-hot, channels-last."""
+    return jax.nn.one_hot(data, num_classes, dtype=dtype)
+
+
+def sattolo_cycle(key, batch_size: int) -> jax.Array:
+    """Random cyclic permutation (derangement) — Sattolo's algorithm with
+    jittable fixed-trip loop (reference train_helpers.py:22-37)."""
+    if batch_size < 2:
+        return jnp.zeros((batch_size,), jnp.int32)
+
+    def body(i, carry):
+        out, key = carry
+        # iteration i corresponds to reference's i from B-1 down to 1
+        idx = batch_size - 1 - i
+        key, sub = jax.random.split(key)
+        j = jax.random.randint(sub, (), 0, idx)  # 0 <= j <= idx-1
+        vi, vj = out[idx], out[j]
+        out = out.at[idx].set(vj).at[j].set(vi)
+        return out, key
+
+    out = jnp.arange(batch_size, dtype=jnp.int32)
+    out, _ = jax.lax.fori_loop(0, batch_size - 1, body, (out, key))
+    return out
+
+
+def mixup_data(
+    key,
+    x: jax.Array,
+    y: jax.Array,
+    alpha: float,
+    condition: Optional[jax.Array] = None,
+):
+    """Mixup over the batch with a derangement pairing.
+
+    Returns (mixed_x, mixed_condition, (y_a, y_b), lam).
+    """
+    k_lam, k_perm = jax.random.split(key)
+    lam = jax.random.beta(k_lam, alpha, alpha, dtype=x.dtype)
+    index = sattolo_cycle(k_perm, x.shape[0])
+    mixed_x = lam * x + (1 - lam) * x[index]
+    mixed_condition = (
+        lam * condition + (1 - lam) * condition[index]
+        if condition is not None
+        else None
+    )
+    return mixed_x, mixed_condition, (y, y[index]), lam
+
+
+def mixup_cross_entropy(logits, targets, lam):
+    """lam·CE(y_a) + (1−lam)·CE(y_b); logits channels-last."""
+    y_a, y_b = targets
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+
+    def ce(y):
+        return -jnp.take_along_axis(log_p, y[..., None], axis=-1)[..., 0]
+
+    return lam * ce(y_a) + (1 - lam) * ce(y_b)
+
+
+def cross_entropy(logits, targets):
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(log_p, targets[..., None], axis=-1)[..., 0]
+
+
+def generate_background(batch: int, dims: Tuple[int, int, int]) -> jax.Array:
+    """3-channel normalized coordinate grid (B, s0, s1, s2, 3) —
+    PixelSNAIL's positional background (reference pixelsnail.py:283-293)."""
+    s0, s1, s2 = dims
+    c0 = jnp.linspace(-1, 1, s0)[:, None, None]
+    c1 = jnp.linspace(-1, 1, s1)[None, :, None]
+    c2 = jnp.linspace(-1, 1, s2)[None, None, :]
+    grid = jnp.stack(
+        [
+            jnp.broadcast_to(c0, dims),
+            jnp.broadcast_to(c1, dims),
+            jnp.broadcast_to(c2, dims),
+        ],
+        axis=-1,
+    )
+    return jnp.broadcast_to(grid[None], (batch, *dims, 3))
