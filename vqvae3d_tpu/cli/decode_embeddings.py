@@ -1,0 +1,76 @@
+"""Stage-3 CLI: decode sampled code grids into synthetic CT volumes (.nrrd).
+
+Mirrors /root/reference/vqvae/decode_embeddings.py: for each finest-level
+sample in the sample DB, fetch its coarser condition grid by uuid, look the
+indices up in the VQ-VAE codebooks, run the decoder + ELU, un-normalize to
+integer HU, and write NRRD with spacings (0.976, 0.976, 3). Samples whose
+last finest-grid slice is all-zero are tagged 'failure' (reference :32).
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae3d_tpu.cli.extract_embeddings import load_vqvae
+from vqvae3d_tpu.data import nrrd_io
+from vqvae3d_tpu.data.sample_db import create_or_load_db
+from vqvae3d_tpu.data.transforms import hu_unnormalize
+from vqvae3d_tpu.models.vqvae import VQVAE, embed_code
+
+
+def parse_arguments(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("db_path", type=Path)
+    parser.add_argument("ckpt_path", type=Path)
+    parser.add_argument("out_path", type=Path, help="output prefix without extension")
+    parser.add_argument("--volume-shape", type=int, nargs=3, default=[256, 256, 128],
+                        help="decoded volume shape (sets the jit shapes)")
+    return parser.parse_args(argv)
+
+
+def decode_samples(model, variables, sample_db, n_levels=2):
+    """Yield (name, volume ndarray) per finest-level sample."""
+
+    @jax.jit
+    def decode(variables, embeddings):
+        out = model.apply(variables, embeddings, train=False, method=VQVAE.decode)
+        return jax.nn.elu(out.astype(jnp.float32))
+
+    for key0, entry0 in sample_db[0].items():
+        key1 = entry0["condition"]
+        grids = [np.asarray(entry0["data"])]
+        if key1 is not None:
+            grids.append(np.asarray(sample_db[1][key1]["data"]))
+        success = "failure" if np.all(grids[0][..., -1] == 0) else "success"
+
+        embeddings = [
+            embed_code(variables, lvl, jnp.asarray(g)[None])
+            for lvl, g in enumerate(grids)
+        ]
+        res = decode(variables, embeddings)
+        vol = np.asarray(res)[0, ..., 0]
+        yield f"{success}_{key1}_{key0}", vol
+
+
+def main(args):
+    vol_shape = tuple(args.volume_shape)
+    model, state, config = load_vqvae(args.ckpt_path, (1, *vol_shape, 1))
+    variables = {"params": state.params, "quantizer": state.quantizer}
+
+    db = create_or_load_db(args.db_path, level=0)
+    n = 0
+    for name, vol in decode_samples(model, variables, db):
+        hu = hu_unnormalize(vol)
+        out_file = str(args.out_path) + f"_{name}.nrrd"
+        nrrd_io.write(out_file, hu.astype(np.int32), header={"spacings": (0.976, 0.976, 3)})
+        print(f"wrote {out_file}")
+        n += 1
+    print(f"decoded {n} samples")
+
+
+if __name__ == "__main__":
+    main(parse_arguments())

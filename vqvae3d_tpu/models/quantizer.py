@@ -45,9 +45,11 @@ class QuantizerState(NamedTuple):
 
 def init_quantizer_state(key, num_embeddings: int, embedding_dim: int) -> QuantizerState:
     embed = jax.random.normal(key, (num_embeddings, embedding_dim), jnp.float32)
+    # embed_avg must be a distinct buffer (not an alias) so state donation in
+    # jitted train steps doesn't see the same buffer twice
     return QuantizerState(
         embed=embed,
-        embed_avg=embed,
+        embed_avg=jnp.copy(embed),
         cluster_size=jnp.zeros((num_embeddings,), jnp.float32),
         initialized=jnp.zeros((), jnp.bool_),
     )
@@ -165,7 +167,9 @@ class Quantizer(nn.Module):
             )
 
         embed = self.variable("quantizer", "embed", init_embed)
-        embed_avg = self.variable("quantizer", "embed_avg", lambda: embed.value)
+        embed_avg = self.variable(
+            "quantizer", "embed_avg", lambda: jnp.copy(embed.value)
+        )
         cluster_size = self.variable(
             "quantizer",
             "cluster_size",

@@ -43,6 +43,18 @@ def make_mesh(
     return Mesh(dev_array, tuple(axis_names))
 
 
+def make_data_mesh(batch_size: int, devices=None) -> Mesh:
+    """1-D 'data' mesh over the largest device count that divides the batch
+    (a batch of 2 on an 8-device host → 2-device mesh; batch 1 → 1 device).
+    Keeps jit in_shardings valid for any batch size."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while batch_size % n != 0:
+        n -= 1
+    return make_mesh((n,), ("data",), devices[:n])
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
