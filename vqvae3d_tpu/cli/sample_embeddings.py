@@ -26,6 +26,7 @@ from vqvae3d_tpu.data.sample_db import (
 from vqvae3d_tpu.models.pixelcnn import PixelCNN, PixelCNNConfig
 from vqvae3d_tpu.models.pixelsnail import PixelSNAIL, PixelSNAILConfig
 from vqvae3d_tpu.sample.ar_sample import make_ancestral_sampler
+from vqvae3d_tpu.sample.cached_sample import make_cached_sampler
 from vqvae3d_tpu.train.checkpoint import load_config, restore_checkpoint
 from vqvae3d_tpu.train.prior_train import create_prior_train_state
 
@@ -47,6 +48,9 @@ def parse_arguments(argv=None):
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--tau", type=float, default=1.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--sampler", choices=["cached", "naive"], default="cached",
+                        help="'cached' = exact incremental sampler (PixelCNN "
+                             "only); PixelSNAIL falls back to naive")
     args = parser.parse_args(argv)
     assert 1 <= args.batch_size <= args.num_samples
     assert args.tau > 0
@@ -82,7 +86,10 @@ def main(args):
         "(and vice versa)"
     )
 
-    sampler = make_ancestral_sampler(model, dims, args.batch_size, tau=args.tau)
+    if args.sampler == "cached" and args.use_model == "pixelcnn":
+        sampler = make_cached_sampler(model, dims, args.batch_size, tau=args.tau)
+    else:
+        sampler = make_ancestral_sampler(model, dims, args.batch_size, tau=args.tau)
     rng = jax.random.PRNGKey(args.seed)
 
     for i in range(args.num_samples // args.batch_size):

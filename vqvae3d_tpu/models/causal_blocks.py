@@ -411,6 +411,105 @@ class FixupCausalResBlock(nn.Module):
         return out
 
 
+def tanh_glu(x: jax.Array) -> jax.Array:
+    """PixelCNN++-style gate: tanh(a)·sigmoid(b) over channel halves."""
+    a, b = jnp.split(x, 2, axis=-1)
+    return jnp.tanh(a) * jax.nn.sigmoid(b)
+
+
+class GatedResBlock(nn.Module):
+    """PixelCNN++-style tanh·sigmoid gated causal block.
+
+    Re-design of /root/reference/pixel_model/layers.py:504-610. Note: the
+    reference force-disables this block (pixelcnn.py:151 hard-sets
+    ``use_gated_block = False``) and its forward's return signature is
+    incompatible with the PixelCNN layer loop; this version is functional
+    and causality-tested. Cross-stream feeds are explicitly shifted (this
+    block's convs don't rely on a preceding mask-'A' layer for stream
+    separation): depth→{height,width} shifted one s0-slice, height→width
+    shifted one s1-row (reference :580-582).
+    """
+
+    kernel_size: int = 3
+    mask: str = "B"
+    condition_dim: int = 0
+    condition_kernel_size: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        stack: Stack,
+        aux=None,
+        condition: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> Stack:
+        assert aux is None, "GatedResBlock has no aux input"
+        in_channels = stack[0].shape[-1]
+        if self.dtype is not None:
+            stack = map_stack(lambda s: s.astype(self.dtype), stack)
+
+        depth, height, width = CausalConv3dAdd(
+            features=in_channels * 2,
+            kernel_size=self.kernel_size,
+            mask=self.mask,
+            use_bias=True,
+            dtype=self.dtype,
+            name="causal_conv",
+        )(stack)
+
+        dc = Conv3D(
+            features=in_channels * 4,
+            kernel_size=1,
+            groups=2,
+            dtype=self.dtype,
+            name="depth_conv",
+        )(depth)
+        d2h, d2w = jnp.split(dc, 2, axis=-1)
+
+        height = height + shift_backwards_3d(d2h)
+        h2w = Conv3D(
+            features=in_channels * 2, kernel_size=1, dtype=self.dtype,
+            name="height_conv",
+        )(height)
+        width = width + shift_down_3d(h2w) + shift_down_3d(shift_backwards_3d(d2w))
+
+        streams = [depth, height, width]
+        if condition is not None:
+            assert self.condition_dim > 0
+            for i in range(3):
+                cond = Conv3D(
+                    features=in_channels * 2,
+                    kernel_size=self.condition_kernel_size,
+                    pad=self.condition_kernel_size // 2,
+                    dtype=self.dtype,
+                    name=f"condition_conv_{i}",
+                )(condition)
+                streams[i] = streams[i] + cond.astype(streams[i].dtype)
+
+        gated = [tanh_glu(s) for s in streams]
+
+        if self.mask == "A":
+            skip = CausalConv3dAdd(
+                features=in_channels,
+                kernel_size=1,
+                mask="A",
+                dtype=self.dtype,
+                name="skip_conv",
+            )(stack)
+        else:
+            skip = stack
+
+        out = []
+        for i, (sk, g) in enumerate(zip(skip, gated)):
+            res = Conv3D(
+                features=in_channels, kernel_size=1, dtype=self.dtype,
+                name=f"res_conv_{i}",
+            )(g)
+            out.append(sk + res)
+        return tuple(out)
+
+
 class CausalAttention(nn.Module):
     """Multi-head causal self-attention over the flattened voxel sequence,
     applied independently per stream (reference layers.py:613-647).

@@ -1,0 +1,394 @@
+"""Cached incremental ancestral sampling for PixelCNN — exact, O(V^{4/3}).
+
+The naive sampler (ar_sample.py) runs a full-grid forward per voxel:
+O(V) forwards of O(V) cost = O(V²) — the same asymptotics as the reference
+(pixel_model/pixelcnn.py:260-283; the reference additionally caches only the
+condition projections, :289-295). This module exploits the conical
+cross-stream dependency of the causal 3-stack (depth → height → width,
+models/causal_blocks.py) to decompose sampling into three cached phases:
+
+  * SLICE phase — the depth-stream tower is a closed sub-network over
+    completed s0-slices: one pass per slice yields every layer's
+    depth→height / depth→width ExpandRF injections (d2h_l, d2w_l) and the
+    final depth-stream output for the whole slice.
+  * ROW phase — given d2h_l, the height-stream towers restricted to the
+    current slice form an exact 2-D causal network (all height convs have
+    kernel depth 1): one pass per row yields h2w_l and the final
+    height-stream output for the row.
+  * VOXEL phase — the width-stream chain is a per-voxel scan of 1×1×1
+    contractions + a ws-tap width conv, fed by the cached d2w/h2w.
+
+Total cost ≈ (s0/3 + s1 + s2) full-forward-equivalents instead of V —
+three to four orders of magnitude less compute for the reference's code
+grids, with bit-identical results (tests/test_cached_sample.py verifies
+equality against the naive sampler).
+
+Supports PixelCNN with PreActFixupCausalResBlock (the configuration used by
+every reference prior job; see SURVEY §6) with or without conditioning.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vqvae3d_tpu.models.prior_utils import idx_to_one_hot
+from vqvae3d_tpu.ops.resize import trilinear_resize
+
+ELU = jax.nn.elu
+
+
+def _mm(x, w1x1):
+    """(..., Cin) @ 1x1x1 kernel (1,1,1,Cin,Cout) → (..., Cout), fp32."""
+    return jnp.einsum(
+        "...i,io->...o", x, w1x1[0, 0, 0].astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _shift_front(x, axis):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 0)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, x.shape[axis])
+    return jnp.pad(x, pad)[tuple(sl)]
+
+
+def _conv_causal_nd(x, w, causal_axes, half):
+    """VALID conv with causal (front) padding on ``causal_axes`` and
+    symmetric ``half`` padding on the rest. x: (B, *spatial, C); w: full
+    kernel (*k, Cin, Cout)."""
+    nsp = x.ndim - 2
+    k = w.shape[:nsp]
+    pad = []
+    for ax in range(nsp):
+        if ax in causal_axes:
+            pad.append((k[ax] - 1, 0))
+        else:
+            pad.append((half, half))
+    dn_in = "N" + "DHW"[3 - nsp :][:nsp] + "C"
+    dn_k = "DHW"[3 - nsp :][:nsp] + "IO"
+    full_pad = [(0, 0)] + pad + [(0, 0)]
+    x = jnp.pad(x, full_pad)
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(jnp.float32),
+        window_strides=(1,) * nsp,
+        padding="VALID",
+        dimension_numbers=(dn_in, dn_k, dn_in),
+        preferred_element_type=jnp.float32,
+    )
+
+
+class _LayerParams:
+    """View over one PreActFixupCausalResBlock's param subtree."""
+
+    def __init__(self, p, has_cond: bool, is_first: bool):
+        self.s = {n: p[f"bias{n}"][0].astype(jnp.float32)
+                  for n in ("1a", "1b", "2a", "2b", "3a", "3b", "4")}
+        self.scale = p["scale"][0].astype(jnp.float32)
+        self.c1 = p["branch_conv1"]
+        self.c2 = p["branch_conv2"]
+        self.c3 = p["branch_conv3"]
+        self.erf_d = p["expand_rf"]["depth_conv"]
+        self.erf_h = p["expand_rf"]["height_conv"]
+        self.cond = p.get("condition") if has_cond else None
+        self.skip = p.get("skip_conv")
+        self.is_first = is_first
+
+
+def _extract_layers(params, num_layers: int, has_cond: bool):
+    return [
+        _LayerParams(params[f"layer_{i}"], has_cond, i == 0)
+        for i in range(num_layers)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Phase A: depth tower over the full grid
+# ---------------------------------------------------------------------------
+
+def _depth_tower(layers, s_in, cond_layers, half):
+    """s_in: parse_input(x) (B, s0, s1, s2, C) fp32. Returns
+    (d2h [L], d2w [L], d_final) — the per-layer ExpandRF injections and the
+    final depth stream, all full-grid."""
+    d = s_in
+    d2h_all, d2w_all = [], []
+    for li, lp in enumerate(layers):
+        u = ELU(d + lp.s["1a"]) + lp.s["1b"]
+        if lp.is_first:
+            u = _shift_front(u, 1)  # mask-'A' backwards shift on s0
+        t = _mm(u, lp.c1["depth_conv"]["kernel"])  # (…, br)
+        erf = _mm(t, lp.erf_d["kernel"]) + lp.erf_d["bias"].astype(jnp.float32)
+        d2h, d2w = jnp.split(erf, 2, axis=-1)
+        d2h_all.append(d2h)
+        d2w_all.append(d2w)
+
+        v = ELU(t + lp.s["2a"]) + lp.s["2b"]
+        b2 = _conv_causal_nd(v, lp.c2["depth_conv"]["kernel"], causal_axes=(0,), half=half)
+        if cond_layers is not None:
+            b2 = b2 + cond_layers[li]
+        w3 = ELU(b2 + lp.s["3a"]) + lp.s["3b"]
+        out = _mm(w3, lp.c3["depth_conv"]["kernel"]) * lp.scale + lp.s["4"]
+        if lp.skip is not None:
+            sk_in = _shift_front(d, 1) if lp.is_first else d
+            sk = _mm(sk_in, lp.skip["depth_conv"]["kernel"]) + lp.skip[
+                "depth_conv"
+            ]["bias"].astype(jnp.float32)
+            d = out + sk
+        else:
+            d = out + d
+    return d2h_all, d2w_all, d
+
+
+# ---------------------------------------------------------------------------
+# Phase B: height tower over one slice
+# ---------------------------------------------------------------------------
+
+def _height_tower(layers, s_slice, d2h_slice, cond_slice, half):
+    """s_slice: parse_input(x)[:, i0] (B, s1, s2, C). d2h_slice: list of
+    (B, s1, s2, br). Returns (h2w [L], h_final) for the slice."""
+    h = s_slice
+    h2w_all = []
+    for li, lp in enumerate(layers):
+        u = ELU(h + lp.s["1a"]) + lp.s["1b"]
+        if lp.is_first:
+            u = _shift_front(u, 1)  # 'A' down-shift on s1
+        t_pre = _mm(u, lp.c1["height_conv"]["kernel"])
+        # ExpandRF computes h2w from the height branch BEFORE the d2h add
+        # (causal_blocks.ExpandRFConv: h2w = conv(height); height += d2h)
+        h2w = _mm(t_pre, lp.erf_h["kernel"]) + lp.erf_h["bias"].astype(jnp.float32)
+        h2w_all.append(h2w)
+        t = t_pre + d2h_slice[li]
+
+        v = ELU(t + lp.s["2a"]) + lp.s["2b"]
+        # height conv kernel (1, k-1, k) → 2-D (k-1, k) causal on s1
+        kern = lp.c2["height_conv"]["kernel"][0]
+        b2 = _conv_causal_nd(v, kern, causal_axes=(0,), half=half)
+        if cond_slice is not None:
+            b2 = b2 + cond_slice[li]
+        w3 = ELU(b2 + lp.s["3a"]) + lp.s["3b"]
+        out = _mm(w3, lp.c3["height_conv"]["kernel"]) * lp.scale + lp.s["4"]
+        if lp.skip is not None:
+            sk_in = _shift_front(h, 1) if lp.is_first else h
+            sk = _mm(sk_in, lp.skip["height_conv"]["kernel"]) + lp.skip[
+                "height_conv"
+            ]["bias"].astype(jnp.float32)
+            h = out + sk
+        else:
+            h = out + h
+    return h2w_all, h
+
+
+# ---------------------------------------------------------------------------
+# Phase C: per-voxel width chain
+# ---------------------------------------------------------------------------
+
+def _width_step(layers, s_vec, s_prev_vec, d2w_vec, h2w_vec, cond_vec, v_caches):
+    """One voxel of the width chain.
+
+    s_vec / s_prev_vec: parse_input embedding at i2 / i2−1 (B, C).
+    d2w_vec/h2w_vec: per-layer cached injections at this voxel (B, br).
+    v_caches: per-layer (B, ws−1, br) previous post-act branch values.
+    Returns (w_final (B, C), new_v_caches).
+    """
+    w = s_vec
+    w_prev_raw = s_prev_vec  # raw stack value at i2−1 (for layer-0 shifts)
+    new_caches = []
+    for li, lp in enumerate(layers):
+        if lp.is_first:
+            u = ELU(w_prev_raw + lp.s["1a"]) + lp.s["1b"]  # 'A' right-shift
+        else:
+            u = ELU(w + lp.s["1a"]) + lp.s["1b"]
+        t = _mm(u, lp.c1["width_conv"]["kernel"])
+        t = t + d2w_vec[li] + h2w_vec[li]
+
+        v = ELU(t + lp.s["2a"]) + lp.s["2b"]  # (B, br)
+        wk = lp.c2["width_conv"]["kernel"]  # (1, 1, ws, br, br)
+        ws = wk.shape[2]
+        taps = jnp.concatenate([v_caches[li], v[:, None, :]], axis=1)  # (B, ws, br)
+        b2 = jnp.einsum(
+            "bsi,sio->bo", taps, wk[0, 0].astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        new_caches.append(taps[:, 1:, :] if ws > 1 else v_caches[li])
+        if cond_vec is not None:
+            b2 = b2 + cond_vec[li]
+        w3 = ELU(b2 + lp.s["3a"]) + lp.s["3b"]
+        out = _mm(w3, lp.c3["width_conv"]["kernel"]) * lp.scale + lp.s["4"]
+        if lp.skip is not None:
+            sk_in = w_prev_raw if lp.is_first else w
+            sk = _mm(sk_in, lp.skip["width_conv"]["kernel"]) + lp.skip[
+                "width_conv"
+            ]["bias"].astype(jnp.float32)
+            w = out + sk
+        else:
+            w = out + w
+    return w, new_caches
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def cached_ancestral_sample(
+    model,
+    params,
+    rng: jax.Array,
+    dims: Tuple[int, int, int],
+    batch_size: int,
+    condition_idx: Optional[jax.Array] = None,
+    tau: float = 1.0,
+) -> jax.Array:
+    cfg = model.config
+    assert cfg.use_pre_activation and not cfg.use_concat_activation, (
+        "cached sampling supports the PreActFixupCausalResBlock PixelCNN"
+    )
+    k = cfg.input_dim
+    s0, s1, s2 = dims
+    b = batch_size
+    half = cfg.kernel_size // 2
+    n_layers = cfg.num_resblocks + 1
+    has_cond = cfg.use_conditioning
+
+    layers = _extract_layers(params, n_layers, has_cond)
+    w_in = params["parse_input"]["kernel"]
+    b_in = params["parse_input"]["bias"].astype(jnp.float32)
+    w_out = params["parse_output"]["kernel"]
+    b_out = params["parse_output"]["bias"].astype(jnp.float32)
+
+    # Condition contributions are pointwise per layer — precompute once
+    # (a strictly stronger version of the reference's condition cache,
+    # pixelcnn.py:289-295).
+    cond_layers = None
+    if has_cond:
+        assert condition_idx is not None
+        cond_oh = idx_to_one_hot(condition_idx, cfg.condition_dim)
+        cond_up = trilinear_resize(cond_oh, dims).astype(jnp.float32)
+        cond_emb = _mm(cond_up, params["embed_condition"]["kernel"]) + params[
+            "embed_condition"
+        ]["bias"].astype(jnp.float32)
+        cond_layers = [
+            _mm(cond_emb, lp.cond["kernel"]) + lp.cond["bias"].astype(jnp.float32)
+            for lp in layers
+        ]
+
+    def parse_in(x_oh):
+        return _mm(x_oh, w_in) + b_in
+
+    x0 = jnp.zeros((b, s0, s1, s2, k), jnp.float32)
+
+    def slice_body(i0, carry):
+        x, rng = carry
+        s_full = parse_in(x)
+        d2h_full, d2w_full, d_fin_full = _depth_tower(
+            layers, s_full, cond_layers, half
+        )
+        # slice-local caches
+        d2h_sl = [jax.lax.dynamic_index_in_dim(a, i0, 1, False) for a in d2h_full]
+        d2w_sl = [jax.lax.dynamic_index_in_dim(a, i0, 1, False) for a in d2w_full]
+        d_fin_sl = jax.lax.dynamic_index_in_dim(d_fin_full, i0, 1, False)
+        cond_sl = (
+            [jax.lax.dynamic_index_in_dim(c, i0, 1, False) for c in cond_layers]
+            if has_cond
+            else None
+        )
+
+        def row_body(i1, carry):
+            x, rng = carry
+            x_sl = jax.lax.dynamic_index_in_dim(x, i0, 1, False)  # (B,s1,s2,K)
+            s_sl = parse_in(x_sl)
+            h2w_sl, h_fin_sl = _height_tower(layers, s_sl, d2h_sl, cond_sl, half)
+            h2w_row = [
+                jax.lax.dynamic_index_in_dim(a, i1, 1, False) for a in h2w_sl
+            ]  # (B, s2, br)
+            h_fin_row = jax.lax.dynamic_index_in_dim(h_fin_sl, i1, 1, False)
+            d2w_row = [
+                jax.lax.dynamic_index_in_dim(a, i1, 1, False) for a in d2w_sl
+            ]
+            d_fin_row = jax.lax.dynamic_index_in_dim(d_fin_sl, i1, 1, False)
+            cond_row = (
+                [jax.lax.dynamic_index_in_dim(c, i1, 1, False) for c in cond_sl]
+                if has_cond
+                else None
+            )
+
+            ws_list = [lp.c2["width_conv"]["kernel"].shape[2] for lp in layers]
+            v_caches0 = [
+                jnp.zeros((b, ws - 1, lp.c2["width_conv"]["kernel"].shape[-1]),
+                          jnp.float32)
+                for ws, lp in zip(ws_list, layers)
+            ]
+            s_prev0 = jnp.zeros((b, s_full.shape[-1]), jnp.float32)
+
+            def voxel_body(i2, carry):
+                x, rng, v_caches, s_prev = carry
+                x_vec = jax.lax.dynamic_slice(
+                    x, (0, i0, i1, i2, 0), (b, 1, 1, 1, k)
+                ).reshape(b, k)
+                s_vec = parse_in(x_vec)
+                d2w_vec = [
+                    jax.lax.dynamic_index_in_dim(a, i2, 1, False) for a in d2w_row
+                ]
+                h2w_vec = [
+                    jax.lax.dynamic_index_in_dim(a, i2, 1, False) for a in h2w_row
+                ]
+                cond_vec = (
+                    [jax.lax.dynamic_index_in_dim(c, i2, 1, False) for c in cond_row]
+                    if has_cond
+                    else None
+                )
+                w_fin, v_caches = _width_step(
+                    layers, s_vec, s_prev, d2w_vec, h2w_vec, cond_vec, v_caches
+                )
+                total = (
+                    jax.lax.dynamic_index_in_dim(d_fin_row, i2, 1, False)
+                    + jax.lax.dynamic_index_in_dim(h_fin_row, i2, 1, False)
+                    + w_fin
+                )
+                logits = _mm(total, w_out) + b_out  # (B, K)
+                rng, sub = jax.random.split(rng)
+                sampled = jax.random.categorical(sub, logits / tau, axis=-1)
+                one_hot = jax.nn.one_hot(sampled, k, dtype=jnp.float32)
+                x = jax.lax.dynamic_update_slice(
+                    x, one_hot.reshape(b, 1, 1, 1, k), (0, i0, i1, i2, 0)
+                )
+                s_prev_new = parse_in(one_hot)
+                return (x, rng, v_caches, s_prev_new)
+
+            x, rng, _, _ = jax.lax.fori_loop(
+                0, s2, voxel_body, (x, rng, v_caches0, s_prev0)
+            )
+            return (x, rng)
+
+        x, rng = jax.lax.fori_loop(0, s1, row_body, (x, rng))
+        return (x, rng)
+
+    x, _ = jax.lax.fori_loop(0, s0, slice_body, (x0, rng))
+    return jnp.argmax(x, axis=-1).astype(jnp.int32)
+
+
+def make_cached_sampler(
+    model, dims: Tuple[int, int, int], batch_size: int, tau: float = 1.0
+):
+    """Jitted cached sampler with the same signature as
+    ar_sample.make_ancestral_sampler."""
+    if model.config.use_conditioning:
+
+        @jax.jit
+        def sampler(params, rng, condition_idx):
+            return cached_ancestral_sample(
+                model, params, rng, dims, batch_size, condition_idx, tau
+            )
+
+    else:
+
+        @jax.jit
+        def sampler(params, rng):
+            return cached_ancestral_sample(
+                model, params, rng, dims, batch_size, None, tau
+            )
+
+    return sampler
