@@ -510,16 +510,50 @@ class GatedResBlock(nn.Module):
         return tuple(out)
 
 
+def _flash_causal_attention(qh, kh, vh, sm_scale: float):
+    """Flash causal attention via the bundled Pallas TPU kernel.
+
+    qh/kh/vh: (B, nh, S, dh). Pads S up to a 128 multiple — safe under the
+    causal mask (padded keys sit strictly in the future of every real query).
+    The (S, S) score matrix never materializes (the dense path needs
+    B·nh·S² fp32 — 2 GB per stream at the mid level's S=8192).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    b, nh, s, dh = qh.shape
+    pad = (-s) % 128
+    if pad:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    blk = min(128, s + pad)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    out = flash_attention(qh, kh, vh, causal=True, sm_scale=sm_scale, block_sizes=sizes)
+    return out[:, :, :s] if pad else out
+
+
 class CausalAttention(nn.Module):
     """Multi-head causal self-attention over the flattened voxel sequence,
     applied independently per stream (reference layers.py:613-647).
 
-    Reference quirk reproduced in spirit: train-time dropout on pre-mask
-    logits with dropped entries set to −1e3 (:636-639).
+    Paths:
+      * Pallas flash kernel (``use_flash='auto'`` on TPU) whenever logit
+        dropout is inactive — O(S) memory instead of the dense O(S²).
+      * Dense fallback for train-time logit dropout (the reference quirk:
+        dropout on pre-mask logits with dropped entries set to −1e3,
+        layers.py:636-639) and for non-TPU backends.
     """
 
     num_heads: int = 8
     dropout_prob: float = 0.5
+    use_flash: str = "auto"  # 'auto' | 'never' | 'always'
 
     @nn.compact
     def __call__(
@@ -540,14 +574,35 @@ class CausalAttention(nn.Module):
         nh = self.num_heads
         assert ck % nh == 0 and cv % nh == 0
         seq = s0 * s1 * s2
+        dh = ck // nh
+        sm_scale = dh**-0.5
 
-        kf = k.reshape(b, seq, nh, ck // nh)
-        qf = q.reshape(b, seq, nh, ck // nh) * (ck // nh) ** -0.5
+        dropout_active = train and self.dropout_prob > 0
+        if self.use_flash == "always":
+            flash_ok = True
+        elif self.use_flash == "never":
+            flash_ok = False
+        else:
+            flash_ok = (
+                not dropout_active
+                and jax.default_backend() == "tpu"
+                and cv == ck
+            )
+
+        if flash_ok:
+            qh = q.reshape(b, seq, nh, dh).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, seq, nh, dh).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, seq, nh, cv // nh).transpose(0, 2, 1, 3)
+            out = _flash_causal_attention(qh, kh, vh, sm_scale)
+            return out.transpose(0, 2, 1, 3).reshape(b, s0, s1, s2, cv)
+
+        kf = k.reshape(b, seq, nh, dh)
+        qf = q.reshape(b, seq, nh, dh) * sm_scale
         vf = v.reshape(b, seq, nh, cv // nh)
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf).astype(jnp.float32)
 
-        if train and self.dropout_prob > 0:
+        if dropout_active:
             rng = self.make_rng("dropout")
             keep = jax.random.bernoulli(rng, 1.0 - self.dropout_prob, logits.shape)
             logits = jnp.where(keep, logits / (1.0 - self.dropout_prob), -1e3)
