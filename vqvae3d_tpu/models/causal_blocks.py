@@ -678,11 +678,17 @@ class CausalAttentionPixelBlock(nn.Module):
             features=branch, kernel_size=1, dtype=self.dtype, name="query_proj"
         )(q_in)
 
+        # Role note: the reference passes (queries, keys, values) into a
+        # forward declared (keys, queries, ...) (layers.py:619 vs :694), so
+        # the output position's vector comes from the KV projection and the
+        # attended-over positions from the query projection. Mirror that
+        # pairing exactly (it's an equivalent parameterization, and converted
+        # reference checkpoints depend on it): q:=keys, k:=queries.
         attn = CausalAttention(
             num_heads=self.num_heads,
             dropout_prob=self.attention_dropout_prob,
             name="causal_attention",
-        )(keys, queries, values, train=train)
+        )(keys=queries, queries=keys, values=values, train=train)
 
         return PreActFixupCausalResBlock(
             out_channels=self.model_dim,

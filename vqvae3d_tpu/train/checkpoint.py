@@ -86,6 +86,154 @@ def _t2j_conv(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 4, 1, 0))
 
 
+def _convert_causal_block(state_dict, put, dst, src, has_cond, has_skip, has_aux=False):
+    """PreActFixupCausalResBlock params (reference pixel_model/layers.py:338-497):
+    7 scalar biases + scale, three CausalConv3dAdd convs (each = depth/height/
+    width Conv3d), ExpandRF (depth/height 1x1x1 convs), optional condition
+    conv, optional skip CausalConv3dAdd, optional aux CausalConv3dAdd."""
+    for name in ("1a", "1b", "2a", "2b", "3a", "3b", "4"):
+        put(f"{dst}/bias{name}", state_dict[f"{src}.bias{name}"])
+    put(f"{dst}/scale", state_dict[f"{src}.scale"])
+    for conv in ("branch_conv1", "branch_conv2", "branch_conv3"):
+        for stream in ("depth_conv", "height_conv", "width_conv"):
+            put(
+                f"{dst}/{conv}/{stream}/kernel",
+                _t2j_conv(state_dict[f"{src}.{conv}.{stream}.weight"]),
+            )
+    put(
+        f"{dst}/expand_rf/depth_conv/kernel",
+        _t2j_conv(state_dict[f"{src}.expand_rf.depth_conv.weight"]),
+    )
+    put(
+        f"{dst}/expand_rf/depth_conv/bias",
+        state_dict[f"{src}.expand_rf.depth_conv.bias"],
+    )
+    put(
+        f"{dst}/expand_rf/height_conv/kernel",
+        _t2j_conv(state_dict[f"{src}.expand_rf.height_conv.weight"]),
+    )
+    put(
+        f"{dst}/expand_rf/height_conv/bias",
+        state_dict[f"{src}.expand_rf.height_conv.bias"],
+    )
+    if has_cond and f"{src}.condition.weight" in state_dict:
+        put(f"{dst}/condition/kernel", _t2j_conv(state_dict[f"{src}.condition.weight"]))
+        put(f"{dst}/condition/bias", state_dict[f"{src}.condition.bias"])
+    if has_skip and f"{src}.skip_conv.depth_conv.weight" in state_dict:
+        for stream in ("depth_conv", "height_conv", "width_conv"):
+            put(
+                f"{dst}/skip_conv/{stream}/kernel",
+                _t2j_conv(state_dict[f"{src}.skip_conv.{stream}.weight"]),
+            )
+            put(
+                f"{dst}/skip_conv/{stream}/bias",
+                state_dict[f"{src}.skip_conv.{stream}.bias"],
+            )
+    if has_aux and f"{src}.aux.depth_conv.weight" in state_dict:
+        for stream in ("depth_conv", "height_conv", "width_conv"):
+            put(
+                f"{dst}/aux/{stream}/kernel",
+                _t2j_conv(state_dict[f"{src}.aux.{stream}.weight"]),
+            )
+            put(
+                f"{dst}/aux/{stream}/bias",
+                state_dict[f"{src}.aux.{stream}.bias"],
+            )
+
+
+def convert_reference_pixelcnn_state_dict(state_dict, config):
+    """Convert a reference PixelCNN torch state_dict (pixel_model/pixelcnn.py
+    module tree: parse_input / embed_condition / layers.N / parse_output)
+    into our PixelCNN variable tree. Requires the default
+    PreActFixupCausalResBlock configuration."""
+    params: Dict[str, Any] = {}
+
+    def put(dotted, value):
+        parts = dotted.split("/")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+
+    put("parse_input/kernel", _t2j_conv(state_dict["parse_input.weight"]))
+    put("parse_input/bias", state_dict["parse_input.bias"])
+    if "embed_condition.weight" in state_dict and config.use_conditioning:
+        put("embed_condition/kernel", _t2j_conv(state_dict["embed_condition.weight"]))
+        put("embed_condition/bias", state_dict["embed_condition.bias"])
+    for i in range(config.num_resblocks + 1):
+        _convert_causal_block(
+            state_dict,
+            put,
+            f"layer_{i}",
+            f"layers.{i}",
+            has_cond=config.use_conditioning,
+            has_skip=True,
+        )
+    put("parse_output/kernel", _t2j_conv(state_dict["parse_output.weight"]))
+    put("parse_output/bias", state_dict["parse_output.bias"])
+    return {"params": params}
+
+
+def convert_reference_pixelsnail_state_dict(state_dict, config):
+    """Convert a reference PixelSNAIL torch state_dict (pixelsnail.py module
+    tree: parse_input / embed_condition / to_causal / layers.N
+    (CausalAttentionPixelBlock: causal_layers.M, key_value_proj, query_proj,
+    out_proj) / parse_output) into our PixelSNAIL variable tree."""
+    params: Dict[str, Any] = {}
+
+    def put(dotted, value):
+        parts = dotted.split("/")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+
+    put("parse_input/kernel", _t2j_conv(state_dict["parse_input.weight"]))
+    put("parse_input/bias", state_dict["parse_input.bias"])
+    if "embed_condition.weight" in state_dict and config.use_conditioning:
+        put("embed_condition/kernel", _t2j_conv(state_dict["embed_condition.weight"]))
+        put("embed_condition/bias", state_dict["embed_condition.bias"])
+
+    _convert_causal_block(
+        state_dict, put, "to_causal", "to_causal",
+        has_cond=config.use_conditioning, has_skip=True,
+    )
+    for i in range(config.num_blocks):
+        blk_src = f"layers.{i}"
+        blk_dst = f"block_{i}"
+        for j in range(config.num_layers_per_block):
+            _convert_causal_block(
+                state_dict,
+                put,
+                f"{blk_dst}/causal_{j}",
+                f"{blk_src}.causal_layers.{j}",
+                has_cond=config.use_conditioning,
+                has_skip=True,
+            )
+        for proj in ("key_value_proj", "query_proj"):
+            for stream in ("depth_conv", "height_conv", "width_conv"):
+                put(
+                    f"{blk_dst}/{proj}/{stream}/kernel",
+                    _t2j_conv(state_dict[f"{blk_src}.{proj}.{stream}.weight"]),
+                )
+                put(
+                    f"{blk_dst}/{proj}/{stream}/bias",
+                    state_dict[f"{blk_src}.{proj}.{stream}.bias"],
+                )
+        _convert_causal_block(
+            state_dict,
+            put,
+            f"{blk_dst}/out_proj",
+            f"{blk_src}.out_proj",
+            has_cond=config.use_conditioning,
+            has_skip=True,
+            has_aux=True,
+        )
+    put("parse_output/kernel", _t2j_conv(state_dict["parse_output.weight"]))
+    put("parse_output/bias", state_dict["parse_output.bias"])
+    return {"params": params}
+
+
 def convert_reference_vqvae_state_dict(
     state_dict: Dict[str, np.ndarray], config
 ) -> Dict[str, Any]:
