@@ -27,7 +27,7 @@ CFG = VQVAEConfig(
 def _batch(b=2, h=32, w=32, d=16):
     k1 = jax.random.PRNGKey(7)
     vol = jax.random.uniform(k1, (b, h, w, d, 1), minval=-0.5, maxval=4.0)
-    num_valid = jnp.array([d, d // 2] * (b // 2), jnp.int32)[:b]
+    num_valid = jnp.array(([d, d // 2] * ((b + 1) // 2))[:b], jnp.int32)
     # zero the padded slices like DepthPadAndCrop would
     mask = depth_valid_mask(num_valid, d)
     vol = vol * mask
@@ -89,6 +89,27 @@ def test_eval_step(trained_setup):
     assert "ssim" in log and np.isfinite(float(log["ssim"]))
     assert "recon_loss_median" in log
     assert np.isfinite(float(log["recon_loss_mean"]))
+
+
+def test_train_step_bf16():
+    """bf16 compute / fp32 params training must differentiate cleanly
+    (regression: fp32-preferred conv outputs used to break the conv
+    transpose rule under bf16)."""
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=2,
+        num_embeddings=(8, 16),
+        dtype=jnp.bfloat16,
+        remat=True,
+        base_lr=1e-3,
+    )
+    model = VQVAE(cfg)
+    batch = _batch(b=1)
+    state = create_vqvae_train_state(model, KEY, np.zeros((1, 32, 32, 16, 1)))
+    step = make_train_step(model, donate=False)
+    state1, log = step(state, batch)
+    assert np.isfinite(float(log["loss"]))
+    # params stay fp32
+    assert state1.params["encoder"]["parse_input"]["kernel"].dtype == jnp.float32
 
 
 def test_train_step_sharded_8dev(trained_setup):

@@ -167,6 +167,9 @@ class PreActFixupResBlock(nn.Module):
     mode: str = "same"
     num_layers: int = 1  # longest path through the network, for Fixup init
     bottleneck_divisor: int = 2
+    pad_mode: str = "wrap"  # reference uses circular padding (layers.py:109);
+    # 'zeros' avoids materializing the wrapped tensor (XLA assigns small-C
+    # pads catastrophic 128-lane layouts at 512-res under autodiff)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -205,7 +208,7 @@ class PreActFixupResBlock(nn.Module):
         out = _mode_conv(
             self.mode,
             branch_channels,
-            pad_mode="wrap",
+            pad_mode=self.pad_mode,
             use_bias=False,
             kernel_init=kaiming_normal_init(),
             dtype=self.dtype,
@@ -467,11 +470,17 @@ class DownBlock(nn.Module):
     resblock: str = "pre-activation"
     n_post_downscale_blocks: int = 0
     num_layers: int = 1
+    pad_mode: str = "wrap"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         block = RESBLOCKS[self.resblock]
+        kw = (
+            {"pad_mode": self.pad_mode}
+            if self.resblock == "pre-activation"
+            else {}
+        )
         for i in range(self.n_down):
             ch = self.in_channels * 2 ** (i + 1)
             x = block(
@@ -480,6 +489,7 @@ class DownBlock(nn.Module):
                 num_layers=self.num_layers,
                 dtype=self.dtype,
                 name=f"down_{i}",
+                **kw,
             )(x)
             for j in range(self.n_post_downscale_blocks):
                 x = block(
@@ -488,6 +498,7 @@ class DownBlock(nn.Module):
                     num_layers=self.num_layers,
                     dtype=self.dtype,
                     name=f"down_{i}_post_{j}",
+                    **kw,
                 )(x)
         return x
 
@@ -506,11 +517,17 @@ class UpBlock(nn.Module):
     resblock: str = "pre-activation"
     n_post_upscale_blocks: int = 0
     num_layers: int = 1
+    pad_mode: str = "wrap"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         block = RESBLOCKS[self.resblock]
+        kw = (
+            {"pad_mode": self.pad_mode}
+            if self.resblock == "pre-activation"
+            else {}
+        )
         for i in range(self.n_up - 1, -1, -1):
             ch = self.out_channels * 2**i
             x = block(
@@ -519,6 +536,7 @@ class UpBlock(nn.Module):
                 num_layers=self.num_layers,
                 dtype=self.dtype,
                 name=f"up_{i}",
+                **kw,
             )(x)
             for j in range(self.n_post_upscale_blocks):
                 x = block(
@@ -527,6 +545,7 @@ class UpBlock(nn.Module):
                     num_layers=self.num_layers,
                     dtype=self.dtype,
                     name=f"up_{i}_post_{j}",
+                    **kw,
                 )(x)
         return x
 
@@ -545,6 +564,7 @@ class PreQuantizationConditioning(nn.Module):
     resblock: str = "pre-activation"
     n_post_upscale_blocks: int = 0
     num_layers: int = 1
+    pad_mode: str = "wrap"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -561,6 +581,7 @@ class PreQuantizationConditioning(nn.Module):
                 resblock=self.resblock,
                 n_post_upscale_blocks=self.n_post_upscale_blocks,
                 num_layers=self.num_layers,
+                pad_mode=self.pad_mode,
                 dtype=self.dtype,
                 name="upsample",
             )(aux)
@@ -572,10 +593,16 @@ class PreQuantizationConditioning(nn.Module):
                 name="proj",
             )(x)
         block = RESBLOCKS[self.resblock]
+        kw = (
+            {"pad_mode": self.pad_mode}
+            if self.resblock == "pre-activation"
+            else {}
+        )
         return block(
             out_channels=self.out_channels,
             mode="same",
             num_layers=self.num_layers,
             dtype=self.dtype,
             name="pre_q",
+            **kw,
         )(x)

@@ -63,6 +63,11 @@ class VQVAEConfig:
     dtype: Any = jnp.bfloat16
     remat: bool = True
     argmin_method: str = "auto"
+    # 'wrap' = reference-parity circular padding (vqvae/layers.py:109);
+    # 'zeros' recommended for training from scratch at 512-res (avoids the
+    # materialized circular-pad buffers whose small-channel layouts blow HBM
+    # under autodiff)
+    pad_mode: str = "wrap"
 
     def __post_init__(self):
         assert self.block_type in RESBLOCKS
@@ -150,6 +155,9 @@ class Encoder(nn.Module):
         down_cls = _maybe_remat(DownBlock, cfg.remat)
         block = RESBLOCKS[cfg.block_type]
         block_r = _maybe_remat(block, cfg.remat)
+        block_kw = (
+            {"pad_mode": cfg.pad_mode} if cfg.block_type == "pre-activation" else {}
+        )
 
         x = Conv3D(
             features=cfg.base_network_channels,
@@ -167,6 +175,7 @@ class Encoder(nn.Module):
                 resblock=cfg.block_type,
                 n_post_downscale_blocks=cfg.n_post_downscale_blocks,
                 num_layers=nl,
+                pad_mode=cfg.pad_mode,
                 dtype=cfg.dtype,
                 name=f"down_{i}",
             )(x)
@@ -191,6 +200,7 @@ class Encoder(nn.Module):
                         num_layers=nl,
                         dtype=cfg.dtype,
                         name=f"pre_quantize_{i}_{j}",
+                        **block_kw,
                     )(h)
 
             h = PreQuantizationConditioning(
@@ -200,6 +210,7 @@ class Encoder(nn.Module):
                 resblock=cfg.block_type,
                 n_post_upscale_blocks=cfg.n_post_upscale_blocks,
                 num_layers=nl,
+                pad_mode=cfg.pad_mode,
                 dtype=cfg.dtype,
                 name=f"pre_quantize_cond_{i}",
             )(h, aux)
@@ -212,6 +223,7 @@ class Encoder(nn.Module):
                         num_layers=nl,
                         dtype=cfg.dtype,
                         name=f"pre_quantize_{i}_{j}",
+                        **block_kw,
                     )(h)
 
             loss, quantized, indices = Quantizer(
@@ -245,6 +257,9 @@ class Decoder(nn.Module):
         nl = cfg.num_layers
         block_r = _maybe_remat(RESBLOCKS[cfg.block_type], cfg.remat)
         up_cls = _maybe_remat(UpBlock, cfg.remat)
+        block_kw = (
+            {"pad_mode": cfg.pad_mode} if cfg.block_type == "pre-activation" else {}
+        )
 
         emb_dims = cfg.embedding_dims
         n_up = cfg.n_blocks_per_bottleneck
@@ -272,6 +287,7 @@ class Decoder(nn.Module):
                     num_layers=nl,
                     dtype=cfg.dtype,
                     name=f"post_quantize_{i}_{j}",
+                    **block_kw,
                 )(h)
 
             out = up_cls(
@@ -281,6 +297,7 @@ class Decoder(nn.Module):
                 resblock=cfg.block_type,
                 n_post_upscale_blocks=cfg.n_post_upscale_blocks,
                 num_layers=nl,
+                pad_mode=cfg.pad_mode,
                 dtype=cfg.dtype,
                 name=f"up_{i}",
             )(h)

@@ -74,6 +74,11 @@ def conv3d(
     # materialize halo-split fp32 buffers with degenerate (C=1) trailing dims
     # padded to full 128-lane tiles (observed: an 18 GB buffer for the C=1
     # parse_input conv at 512×512×128).
+    # NOTE: no explicit preferred_element_type — TPU MXU convs/dots with bf16
+    # operands accumulate in fp32 internally regardless, and forcing an fp32
+    # output dtype breaks the conv transpose rule under autodiff (fp32
+    # cotangents meet bf16 kernels: "requires arguments to have the same
+    # dtypes"). Output dtype == input dtype.
     if (
         w.shape[:3] == (1, 1, 1)
         and _triple(stride) == (1, 1, 1)
@@ -83,11 +88,10 @@ def conv3d(
             x,
             w[0, 0, 0].astype(x.dtype),
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
         )
         if b is not None:
-            out = out + b.astype(jnp.float32)
-        return out.astype(x.dtype)
+            out = out + b.astype(out.dtype)
+        return out
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -96,11 +100,10 @@ def conv3d(
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         feature_group_count=groups,
         precision=precision,
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + b.astype(out.dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -47,7 +47,7 @@ def create_prior_train_state(model, rng, sample_batch: Dict, lr: float | None = 
             jnp.asarray(sample_batch["condition"]), cfg.condition_dim, data.shape[1:4]
         )
     params_rng, dropout_rng = jax.random.split(rng)
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": params_rng, "dropout": dropout_rng}, data, cond, train=False
     )
     if lr is None:

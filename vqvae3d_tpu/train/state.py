@@ -35,7 +35,11 @@ def create_vqvae_train_state(model, rng, sample_input, lr: float | None = None):
     sample_input: a (B, H, W, D, C) array (can be jnp.zeros on any backend;
     init is shape-driven).
     """
-    variables = model.init(rng, sample_input, train=False)
+    # jit the init: un-jitted tracing executes hundreds of conv inits
+    # op-by-op (catastrophic under remote-compile backends)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, sample_input, train=False
+    )
     params = variables["params"]
     quantizer = variables["quantizer"]
     if lr is None:
