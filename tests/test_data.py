@@ -180,3 +180,15 @@ def test_sample_db_roundtrip(tmp_path):
     assert len(db3[0]) == 2 and len(db3[1]) == 3
     some = next(iter(db3[0].values()))
     assert some["condition"] in db3[1]
+
+
+def test_device_prefetch():
+    import jax
+    from vqvae3d_tpu.data.device_feed import device_prefetch
+
+    batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2, 2), i))

@@ -28,6 +28,7 @@ from vqvae3d_tpu.train.prior_train import (
     make_prior_eval_step,
     make_prior_train_step,
 )
+from vqvae3d_tpu.data.device_feed import device_prefetch
 from vqvae3d_tpu.utils.profiling import StepTimer
 
 MODELS = {
@@ -117,7 +118,7 @@ def main(args):
 
     with mesh:
         while step < args.max_steps:
-            for batch in dm.train_dataloader(epoch=epoch):
+            for batch in device_prefetch(dm.train_dataloader(epoch=epoch)):
                 with timer:
                     state, log = train_step(state, clean(batch), rng)
                 step = int(state.step)

@@ -28,6 +28,7 @@ from vqvae3d_tpu.parallel.mesh import make_data_mesh, make_mesh
 from vqvae3d_tpu.train.checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from vqvae3d_tpu.train.state import create_vqvae_train_state
 from vqvae3d_tpu.train.vqvae_train import make_eval_step, make_train_step
+from vqvae3d_tpu.data.device_feed import device_prefetch
 from vqvae3d_tpu.utils.profiling import StepTimer
 
 
@@ -97,7 +98,7 @@ def main(args):
 
     with mesh:
         while step < args.max_steps:
-            for batch in dm.train_dataloader(epoch=epoch):
+            for batch in device_prefetch(dm.train_dataloader(epoch=epoch)):
                 with timer:
                     state, log = train_step(state, batch)
                 step = int(state.step)
