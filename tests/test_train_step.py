@@ -134,3 +134,15 @@ def test_train_step_data_space_mesh(trained_setup):
     with mesh:
         state1, log = step(state, batch)
     assert np.isfinite(float(log["loss"]))
+
+
+def test_make_data_mesh_divisibility():
+    from vqvae3d_tpu.parallel.mesh import make_data_mesh
+
+    # 8 virtual devices: largest divisor of the batch that fits
+    assert make_data_mesh(2).devices.size == 2
+    assert make_data_mesh(3).devices.size == 3
+    assert make_data_mesh(8).devices.size == 8
+    assert make_data_mesh(12).devices.size == 6
+    assert make_data_mesh(7).devices.size == 7
+    assert make_data_mesh(1).devices.size == 1

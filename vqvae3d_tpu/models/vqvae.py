@@ -68,6 +68,10 @@ class VQVAEConfig:
     # materialized circular-pad buffers whose small-channel layouts blow HBM
     # under autodiff)
     pad_mode: str = "wrap"
+    # remat policy: None = flax default (save block inputs); 'nothing' =
+    # nothing_saveable (recompute everything — removes the full-res
+    # small-channel residuals whose padded layouts dominate HBM at 512-res)
+    remat_policy: Any = None
 
     def __post_init__(self):
         assert self.block_type in RESBLOCKS
@@ -132,8 +136,20 @@ class VQVAEConfig:
         return shapes
 
 
-def _maybe_remat(cls, enable: bool):
-    return nn.remat(cls) if enable else cls
+_REMAT_POLICIES = {
+    None: None,
+    "nothing": "nothing_saveable",
+    "dots": "dots_saveable",
+}
+
+
+def _maybe_remat(cls, enable: bool, policy=None):
+    if not enable:
+        return cls
+    if policy is not None:
+        pol = getattr(jax.checkpoint_policies, _REMAT_POLICIES.get(policy, policy))
+        return nn.remat(cls, policy=pol)
+    return nn.remat(cls)
 
 
 class Encoder(nn.Module):
@@ -152,9 +168,9 @@ class Encoder(nn.Module):
     def __call__(self, x, train: bool = False):
         cfg = self.config
         nl = cfg.num_layers
-        down_cls = _maybe_remat(DownBlock, cfg.remat)
+        down_cls = _maybe_remat(DownBlock, cfg.remat, cfg.remat_policy)
         block = RESBLOCKS[cfg.block_type]
-        block_r = _maybe_remat(block, cfg.remat)
+        block_r = _maybe_remat(block, cfg.remat, cfg.remat_policy)
         block_kw = (
             {"pad_mode": cfg.pad_mode} if cfg.block_type == "pre-activation" else {}
         )
@@ -255,8 +271,8 @@ class Decoder(nn.Module):
     def __call__(self, quantizations, train: bool = False):
         cfg = self.config
         nl = cfg.num_layers
-        block_r = _maybe_remat(RESBLOCKS[cfg.block_type], cfg.remat)
-        up_cls = _maybe_remat(UpBlock, cfg.remat)
+        block_r = _maybe_remat(RESBLOCKS[cfg.block_type], cfg.remat, cfg.remat_policy)
+        up_cls = _maybe_remat(UpBlock, cfg.remat, cfg.remat_policy)
         block_kw = (
             {"pad_mode": cfg.pad_mode} if cfg.block_type == "pre-activation" else {}
         )
