@@ -1,0 +1,82 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvae3d_tpu.models.vqvae import VQVAE, VQVAEConfig
+from vqvae3d_tpu.ops.resize import depth_to_space, space_to_depth
+from vqvae3d_tpu.train.state import create_vqvae_train_state
+from vqvae3d_tpu.train.vqvae_train import make_train_step
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_space_to_depth_roundtrip():
+    x = jax.random.normal(KEY, (2, 8, 8, 4, 3))
+    packed = space_to_depth(x, 2)
+    assert packed.shape == (2, 4, 4, 2, 24)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(packed, 2)), np.asarray(x))
+    # identity at factor 1
+    assert space_to_depth(x, 1) is x
+
+
+def test_space_to_depth_block_semantics():
+    """Channel c of the packed tensor = voxel (dh, dw, dd) of each block."""
+    x = jnp.arange(4 * 4 * 2).reshape(1, 4, 4, 2, 1).astype(jnp.float32)
+    p = space_to_depth(x, 2)
+    # block (0,0,0): voxels (h,w,d) in {0,1}² × {0,1}
+    block = np.asarray(x[0, :2, :2, :2, 0]).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(p[0, 0, 0, 0]), block)
+
+
+def test_stem_config_schedules():
+    """stem=2 with base 8 reproduces the reference full model's code grids,
+    channels, and embedding dims."""
+    ref = VQVAEConfig(num_embeddings=(128, 256, 512))
+    stem = VQVAEConfig(
+        num_embeddings=(128, 256, 512),
+        base_network_channels=8,
+        stem_space_to_depth=2,
+    )
+    assert stem.level_channels == ref.level_channels == [16, 64, 256]
+    assert stem.embedding_dims == ref.embedding_dims == [2, 8, 32]
+    assert stem.level_n_down(0) == 1 and stem.level_n_down(1) == 2
+    assert stem.code_grid_shapes((512, 512, 128)) == ref.code_grid_shapes(
+        (512, 512, 128)
+    )
+
+
+def test_stem_vqvae_forward_and_train():
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=2,
+        num_embeddings=(8, 16),
+        base_network_channels=8,
+        stem_space_to_depth=2,
+        dtype=jnp.float32,
+        remat=False,
+        base_lr=1e-3,
+    )
+    model = VQVAE(cfg)
+    x = jax.random.normal(KEY, (1, 32, 32, 16, 1))
+    variables = model.init(KEY, x, train=False)
+    decoded, (losses, quants, indices) = model.apply(variables, x, train=False)
+    assert decoded.shape == x.shape
+    # same code-grid shapes as a stem-less model
+    assert indices[0].shape == (1, 8, 8, 4)
+    assert indices[1].shape == (1, 2, 2, 1)
+
+    state = create_vqvae_train_state(model, KEY, np.zeros((1, 32, 32, 16, 1)))
+    step = make_train_step(model, donate=False)
+    batch = {
+        "volume": x,
+        "num_valid_slices": jnp.array([16], jnp.int32),
+    }
+    state1, log = step(state, batch)
+    assert np.isfinite(float(log["loss"]))
+
+
+def test_stem_rejects_invalid_factor():
+    with pytest.raises(AssertionError):
+        VQVAEConfig(stem_space_to_depth=3)
+    with pytest.raises(AssertionError):
+        VQVAEConfig(stem_space_to_depth=8, n_blocks_per_bottleneck=2)

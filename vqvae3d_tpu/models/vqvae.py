@@ -36,6 +36,7 @@ from vqvae3d_tpu.models.blocks import (
 )
 from vqvae3d_tpu.models.quantizer import Quantizer
 from vqvae3d_tpu.ops.conv3d import Conv3D
+from vqvae3d_tpu.ops.resize import depth_to_space, space_to_depth
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,10 +73,24 @@ class VQVAEConfig:
     # nothing_saveable (recompute everything — removes the full-res
     # small-channel residuals whose padded layouts dominate HBM at 512-res)
     remat_policy: Any = None
+    # TPU-native stem: space-to-depth the input by this factor before the
+    # first conv (and depth-to-space after the last), replacing log2(factor)
+    # of the first level's stride-2 halvings. With factor=2 and
+    # base_network_channels=8 the code-grid hierarchy, embedding dims and
+    # codebooks match the reference full model exactly while no
+    # full-resolution tensor has fewer than factor³ channels — the fix for
+    # 512-res single-chip training (XLA pads C<128 minor dims to 128-lane
+    # tiles; C=4 at 512³ costs 64× HBM in remat copies). 1 = reference stem.
+    stem_space_to_depth: int = 1
 
     def __post_init__(self):
         assert self.block_type in RESBLOCKS
         assert self.encoder_variant in ("encoder2", "encoder")
+        f = self.stem_space_to_depth
+        assert f >= 1 and (f & (f - 1)) == 0, "stem factor must be a power of 2"
+        assert 2 ** self.stem_log2 <= 2**self.n_blocks_per_bottleneck, (
+            "stem factor cannot exceed the first level's downscale"
+        )
         assert len(self.num_embeddings) in (1, self.n_bottleneck_blocks)
         if len(self.num_embeddings) == 1:
             object.__setattr__(
@@ -91,12 +106,23 @@ class VQVAEConfig:
         return self.n_bottleneck_blocks
 
     @property
+    def stem_log2(self) -> int:
+        return int(self.stem_space_to_depth).bit_length() - 1
+
+    def level_n_down(self, i: int) -> int:
+        """Stride-2 halvings inside level i's Down/UpBlock (the stem absorbs
+        log2(stem_space_to_depth) of level 0's)."""
+        nd = self.n_blocks_per_bottleneck
+        return nd - self.stem_log2 if i == 0 else nd
+
+    @property
     def level_channels(self) -> List[int]:
         """Feature channels after each level's DownBlock (fine → coarse)."""
-        return [
-            self.base_network_channels * 2 ** (self.n_blocks_per_bottleneck * (i + 1))
-            for i in range(self.n_enc)
-        ]
+        out, ch = [], self.base_network_channels
+        for i in range(self.n_enc):
+            ch = ch * 2 ** self.level_n_down(i)
+            out.append(ch)
+        return out
 
     @property
     def embedding_dims(self) -> List[int]:
@@ -175,6 +201,7 @@ class Encoder(nn.Module):
             {"pad_mode": cfg.pad_mode} if cfg.block_type == "pre-activation" else {}
         )
 
+        x = space_to_depth(x, cfg.stem_space_to_depth)
         x = Conv3D(
             features=cfg.base_network_channels,
             kernel_size=1,
@@ -187,7 +214,7 @@ class Encoder(nn.Module):
         for i in range(cfg.n_enc):
             x = down_cls(
                 in_channels=before,
-                n_down=cfg.n_blocks_per_bottleneck,
+                n_down=cfg.level_n_down(i),
                 resblock=cfg.block_type,
                 n_post_downscale_blocks=cfg.n_post_downscale_blocks,
                 num_layers=nl,
@@ -195,7 +222,7 @@ class Encoder(nn.Module):
                 dtype=cfg.dtype,
                 name=f"down_{i}",
             )(x)
-            before *= 2**cfg.n_blocks_per_bottleneck
+            before *= 2 ** cfg.level_n_down(i)
             downs.append(x)
 
         emb_dims = cfg.embedding_dims
@@ -278,13 +305,14 @@ class Decoder(nn.Module):
         )
 
         emb_dims = cfg.embedding_dims
-        n_up = cfg.n_blocks_per_bottleneck
 
         out = None
         for i in reversed(range(cfg.n_enc)):
             # after_channels at level i == UpBlock output channels
-            out_ch = cfg.base_network_channels * 2 ** (n_up * i)
-            before_ch = out_ch * 2**n_up
+            out_ch = (
+                cfg.base_network_channels if i == 0 else cfg.level_channels[i - 1]
+            )
+            before_ch = cfg.level_channels[i]
             in_ch = emb_dims[i] + (before_ch if i != cfg.n_enc - 1 else 0)
 
             q = quantizations[i].astype(cfg.dtype) if cfg.dtype else quantizations[i]
@@ -309,7 +337,7 @@ class Decoder(nn.Module):
             out = up_cls(
                 in_channels=in_ch,
                 out_channels=out_ch,
-                n_up=n_up,
+                n_up=cfg.level_n_down(i),
                 resblock=cfg.block_type,
                 n_post_upscale_blocks=cfg.n_post_upscale_blocks,
                 num_layers=nl,
@@ -318,9 +346,14 @@ class Decoder(nn.Module):
                 name=f"up_{i}",
             )(h)
 
-        return Conv3D(
-            features=cfg.output_channels, kernel_size=1, dtype=cfg.dtype, name="out"
+        f = cfg.stem_space_to_depth
+        out = Conv3D(
+            features=cfg.output_channels * f**3,
+            kernel_size=1,
+            dtype=cfg.dtype,
+            name="out",
         )(out)
+        return depth_to_space(out, f)
 
 
 class VQVAE(nn.Module):

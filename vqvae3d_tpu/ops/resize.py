@@ -86,6 +86,35 @@ def nearest_upsample(x: jax.Array, factor: int) -> jax.Array:
     return x
 
 
+def space_to_depth(x: jax.Array, factor: int) -> jax.Array:
+    """(B, H, W, D, C) → (B, H/f, W/f, D/f, C·f³): pack f×f×f voxel blocks
+    into channels. TPU-first stem transform — keeps the channel (lane) dim
+    ≥ f³·C so no full-resolution small-channel tensor ever exists (XLA pads
+    the two minormost dims to (8,128) tiles; C=1..4 at 512³ otherwise costs
+    up to 64× HBM in materialized copies)."""
+    if factor == 1:
+        return x
+    b, h, w, d, c = x.shape
+    f = factor
+    assert h % f == 0 and w % f == 0 and d % f == 0, (x.shape, f)
+    x = x.reshape(b, h // f, f, w // f, f, d // f, f, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, h // f, w // f, d // f, f * f * f * c)
+
+
+def depth_to_space(x: jax.Array, factor: int) -> jax.Array:
+    """Inverse of space_to_depth."""
+    if factor == 1:
+        return x
+    b, h, w, d, cf = x.shape
+    f = factor
+    c = cf // (f * f * f)
+    assert c * f * f * f == cf, (x.shape, f)
+    x = x.reshape(b, h, w, d, f, f, f, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, h * f, w * f, d * f, c)
+
+
 def area_resize(x: jax.Array, size: Sequence[int]) -> jax.Array:
     """Area-interpolation downscale for integer shrink factors.
 

@@ -245,6 +245,9 @@ def convert_reference_vqvae_state_dict(
     models.vqvae.VQVAE naming. Tensors must already be numpy (call
     ``{k: v.cpu().numpy() for k, v in sd.items()}`` on the torch side).
     """
+    assert config.stem_space_to_depth == 1, (
+        "reference checkpoints have no space-to-depth stem"
+    )
     n_enc = config.n_bottleneck_blocks
     n_down = config.n_blocks_per_bottleneck
     params: Dict[str, Any] = {"encoder": {}, "decoder": {}}
