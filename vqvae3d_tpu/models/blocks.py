@@ -8,9 +8,8 @@ Re-designs the reference layer zoo (/root/reference/vqvae/layers.py) in flax:
     layers.py:109.
   * ``FixupResBlock`` — 2-conv Fixup block (layers.py:219-303).
   * ``EvonormResBlock`` + ``EvoNorm3DS0`` — EvoNorm-S0 variant
-    (layers.py:14-98, vqvae/evonorm.py). The reference's hand-written
-    SiLU-velocity backward is a memory optimization only; XLA fuses the
-    forward and rematerializes cheaply, so we keep the composed op.
+    (layers.py:14-98, vqvae/evonorm.py), with the SiLU-velocity custom VJP
+    (evonorm.py:29-47) as ``silu_velocity``.
   * ``ResizeConv3D`` — trilinear ×2 upsample + conv (layers.py:591-597).
   * ``DownBlock`` / ``UpBlock`` / ``PreQuantizationConditioning`` —
     hierarchical plumbing (layers.py:306-387).
