@@ -57,11 +57,21 @@ def parse_arguments(argv=None):
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of steps 10-15 here")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (one process per host)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port for --multihost")
     parser.add_argument("--use-conditioning", type=str, default="True")
     return parser.parse_args(argv)
 
 
 def main(args):
+    if getattr(args, "multihost", False):
+        from vqvae3d_tpu.parallel.multihost import initialize_multihost
+
+        initialize_multihost(coordinator_address=args.coordinator)
     model_cls, cfg_cls = MODELS[args.use_model]
     dm = CodeDataModule(
         str(args.dataset_path),
@@ -122,6 +132,10 @@ def main(args):
                 with timer:
                     state, log = train_step(state, clean(batch), rng)
                 step = int(state.step)
+                if args.profile_dir and step == 10:
+                    jax.profiler.start_trace(args.profile_dir)
+                if args.profile_dir and step == 15:
+                    jax.profiler.stop_trace()
                 if step % args.log_every_n_steps == 0:
                     flat = logger.log(step, log, prefix="train")
                     flat["step_ms"] = timer.mean_ms

@@ -50,12 +50,22 @@ def parse_arguments(argv=None):
     parser.add_argument("--mesh-shape", type=int, nargs="+", default=None,
                         help="e.g. '4 2' for a (data, space) mesh; default 1-D data mesh")
     parser.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of steps 10-15 here")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (one process per host)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port for --multihost")
     parser.add_argument("--scan-size", type=int, nargs=2, default=[512, 512],
                         help="expected (H, W) of input scans; others are dropped")
     return parser.parse_args(argv)
 
 
 def main(args):
+    if getattr(args, "multihost", False):
+        from vqvae3d_tpu.parallel.multihost import initialize_multihost
+
+        initialize_multihost(coordinator_address=args.coordinator)
     np.random.seed(args.seed)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     config = dataclass_from_args(VQVAEConfig, args, overrides={"dtype": dtype})
@@ -102,6 +112,10 @@ def main(args):
                 with timer:
                     state, log = train_step(state, batch)
                 step = int(state.step)
+                if args.profile_dir and step == 10:
+                    jax.profiler.start_trace(args.profile_dir)
+                if args.profile_dir and step == 15:
+                    jax.profiler.stop_trace()
                 if step % args.log_every_n_steps == 0:
                     flat = logger.log(step, log, prefix="train")
                     flat["step_ms"] = timer.mean_ms
