@@ -79,12 +79,22 @@ def ema_update(
 ) -> QuantizerState:
     """EMA codebook update from (globally reduced) cluster stats."""
     k = state.embed.shape[0]
-    # Global-batch scatter-sums; under a sharded batch XLA inserts the
-    # cross-device reduction (the reference's all_reduce pair, layers.py:645).
-    counts = jax.ops.segment_sum(
-        jnp.ones((flat.shape[0],), jnp.float32), indices, num_segments=k
-    )
-    dw = jax.ops.segment_sum(flat, indices, num_segments=k)
+    # Global-batch cluster sums via a one-hot matmul on the MXU. A
+    # segment_sum/scatter formulation is ~50× slower here: TPU scatters with
+    # potentially-colliding indices lower to serialized updates (measured
+    # 1.1 s/step at N=131k vs ~ms for the matmul). fp32 + HIGHEST keeps the
+    # accumulation exact (the reference computes these stats in fp32,
+    # layers.py:638-643). Under a sharded batch XLA still inserts the
+    # cross-device reduction (the reference's all_reduce pair, :645-647).
+    one_hot = jax.nn.one_hot(indices, k, dtype=jnp.float32)  # (N, K)
+    counts = jnp.sum(one_hot, axis=0)
+    dw = jax.lax.dot_general(
+        one_hot,
+        flat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (K, D)
 
     cluster_size = state.cluster_size * decay + counts * (1.0 - decay)
     embed_avg = state.embed_avg * decay + dw * (1.0 - decay)
