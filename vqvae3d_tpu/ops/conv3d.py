@@ -16,6 +16,7 @@ TPU-first notes:
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Sequence, Tuple, Union
 
 import jax
@@ -92,18 +93,106 @@ def conv3d(
         if b is not None:
             out = out + b.astype(out.dtype)
         return out
-    out = jax.lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
-        window_strides=_triple(stride),
-        padding=padding,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        feature_group_count=groups,
-        precision=precision,
-    )
+    if (
+        groups == 1
+        and precision is None
+        and padding == "VALID"
+        and max(x.shape[-1], w.shape[-1]) <= _SMALLC_MAX
+    ):
+        out = _conv3d_valid_smallc(x, w.astype(x.dtype), _triple(stride))
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=_triple(stride),
+            padding=padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=groups,
+            precision=precision,
+        )
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Small-channel conv with MXU-friendly custom backward
+# ---------------------------------------------------------------------------
+#
+# XLA lowers the weight-gradient of convs with few channels to loop fusions
+# that crawl the whole volume at ~2/128 lane utilization (profiled: 86 ms for
+# ONE (3,3,3,4,4) dW over a (256,256,128,4) activation — the dominant cost of
+# the entire train step). dW is really a batch of k³ tiny matmuls with a huge
+# contraction dim: dW[κ] = Σ_pos x[pos·s+κ]ᵀ · g[pos]. Computing it as k³
+# shifted (N, Cin)ᵀ(N, Cout) dots streams the operands through the MXU at
+# memory bandwidth instead.
+
+_SMALLC_MAX = 32  # use the custom backward when max(Cin, Cout) <= this
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv3d_valid_smallc(xp: jax.Array, w: jax.Array, stride: Tuple[int, int, int]):
+    return jax.lax.conv_general_dilated(
+        xp, w, window_strides=stride, padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _conv3d_valid_smallc_fwd(xp, w, stride):
+    return _conv3d_valid_smallc(xp, w, stride), (xp, w)
+
+
+def _conv3d_valid_smallc_bwd(stride, res, g):
+    xp, w = res
+    kd, kh, kw, cin, cout = w.shape
+    b, od, oh, ow, _ = g.shape
+
+    # dx: transposed conv — spatially-flipped kernel with IO swapped, the
+    # cotangent dilated by the stride. XLA lowers this as a convolution
+    # (its dx path was never the bottleneck).
+    w_rot = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx = jax.lax.conv_general_dilated(
+        g,
+        w_rot,
+        window_strides=(1, 1, 1),
+        padding=[(kd - 1, kd - 1), (kh - 1, kh - 1), (kw - 1, kw - 1)],
+        lhs_dilation=stride,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+    # dW: k³ shifted dots on the MXU (one (N, Cin)ᵀ·(N, Cout) per kernel
+    # offset; no im2col buffer — each shifted view streams once).
+    gf = g.reshape(-1, cout)
+    sd, sh, sw = stride
+    dots = []
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx_ in range(kw):
+                xs = jax.lax.slice(
+                    xp,
+                    (0, dz, dy, dx_, 0),
+                    (
+                        b,
+                        dz + (od - 1) * sd + 1,
+                        dy + (oh - 1) * sh + 1,
+                        dx_ + (ow - 1) * sw + 1,
+                        cin,
+                    ),
+                    (1, sd, sh, sw, 1),
+                )
+                dots.append(
+                    jax.lax.dot_general(
+                        xs.reshape(-1, cin),
+                        gf,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+    dw = jnp.stack(dots).reshape(kd, kh, kw, cin, cout).astype(w.dtype)
+    return dx.astype(xp.dtype), dw
+
+
+_conv3d_valid_smallc.defvjp(_conv3d_valid_smallc_fwd, _conv3d_valid_smallc_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -52,7 +52,9 @@ def create_prior_train_state(model, rng, sample_batch: Dict, lr: float | None = 
     )
     if lr is None:
         lr = cfg.lr
-    tx = optax.amsgrad(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8)
+    from vqvae3d_tpu.train.state import make_optimizer
+
+    tx = make_optimizer(lr)
     return PriorTrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx
     )
