@@ -55,8 +55,9 @@ def main():
         decoded, (losses, _, indices) = model.apply(variables, x, train=False)
         return decoded, indices
 
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     x = jnp.asarray(
-        np.random.default_rng(0).uniform(-0.5, 4.0, (1, *VOL, 1)), jnp.bfloat16
+        np.random.default_rng(0).uniform(-0.5, 4.0, (batch, *VOL, 1)), jnp.bfloat16
     )
 
     # compile + warmup
@@ -72,7 +73,7 @@ def main():
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
-    vols_per_sec = 1.0 / dt
+    vols_per_sec = batch / dt
     print(
         json.dumps(
             {
@@ -81,7 +82,8 @@ def main():
                 "unit": "volumes/sec",
                 "vs_baseline": round(vols_per_sec / BASELINE_VOL_PER_SEC, 4),
                 "extra": {
-                    "sec_per_volume": round(dt, 4),
+                    "sec_per_volume": round(dt / batch, 4),
+                    "batch": batch,
                     "compile_sec": round(compile_s, 1),
                     "backend": jax.default_backend(),
                     "full_blocks": full_blocks,
