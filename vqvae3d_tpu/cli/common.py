@@ -9,12 +9,10 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import sys
 import time
 from pathlib import Path
 from typing import Dict, Optional
 
-import jax
 import numpy as np
 
 

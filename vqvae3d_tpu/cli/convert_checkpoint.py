@@ -16,7 +16,6 @@ import argparse
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from vqvae3d_tpu.cli.common import add_dataclass_args, dataclass_from_args

@@ -21,7 +21,7 @@ from vqvae3d_tpu.cli.common import MetricLogger, add_dataclass_args, dataclass_f
 from vqvae3d_tpu.data.code_store import CodeDataModule
 from vqvae3d_tpu.models.pixelcnn import PixelCNN, PixelCNNConfig
 from vqvae3d_tpu.models.pixelsnail import PixelSNAIL, PixelSNAILConfig
-from vqvae3d_tpu.parallel.mesh import make_data_mesh, make_mesh
+from vqvae3d_tpu.parallel.mesh import make_data_mesh
 from vqvae3d_tpu.train.checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from vqvae3d_tpu.train.prior_train import (
     create_prior_train_state,

@@ -19,7 +19,6 @@ matching the train step contract.
 from __future__ import annotations
 
 import queue
-import threading
 import warnings
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path

@@ -13,8 +13,6 @@ permutation is handled by the caller simply passing component-last arrays).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -20,7 +20,7 @@ accumulation.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,6 @@ from vqvae3d_tpu.ops.conv3d import (
     Conv3D,
     fixup_branch_init,
     kaiming_normal_init,
-    torch_conv_default_init,
     xavier_normal_init,
 )
 from vqvae3d_tpu.ops.resize import trilinear_upsample2x

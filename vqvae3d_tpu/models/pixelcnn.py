@@ -12,7 +12,7 @@ vqvae3d_tpu.train.prior_train; sampling in vqvae3d_tpu.sample.ar_sample.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ the params; train steps must pass ``mutable=["quantizer"]``.
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

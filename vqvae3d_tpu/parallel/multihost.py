@@ -22,7 +22,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
 from vqvae3d_tpu.parallel.mesh import make_mesh

@@ -22,7 +22,6 @@ unnecessary and not replicated.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

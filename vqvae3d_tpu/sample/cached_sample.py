@@ -28,7 +28,6 @@ every reference prior job; see SURVEY §6) with or without conditioning.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax

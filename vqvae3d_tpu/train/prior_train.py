@@ -14,12 +14,11 @@ Both priors share this module — the model is any flax module with signature
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import core, struct
 from flax.training import train_state
 
 from vqvae3d_tpu.models.prior_utils import (
