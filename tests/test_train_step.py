@@ -146,3 +146,13 @@ def test_make_data_mesh_divisibility():
     assert make_data_mesh(12).devices.size == 6
     assert make_data_mesh(7).devices.size == 7
     assert make_data_mesh(1).devices.size == 1
+
+
+def test_make_hybrid_mesh_fallback():
+    """Single-process fallback of the multi-host mesh helper."""
+    from vqvae3d_tpu.parallel.multihost import is_primary, make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(space=2)
+    assert mesh.axis_names == ("data", "space")
+    assert mesh.devices.size == 8
+    assert is_primary()
