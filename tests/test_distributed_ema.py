@@ -65,3 +65,47 @@ def test_sharded_ema_matches_single_device():
         np.asarray(s8.params["encoder"]["parse_input"]["kernel"]),
         rtol=1e-4, atol=1e-7,
     )
+
+
+def test_sharded_pallas_kernel_matches_single_device():
+    """Round-2 (VERDICT #2): the PALLAS argmin+stats kernel (interpret mode
+    on CPU) under a ('data', 'space')-sharded batch, shard_mapped with
+    psum'd EMA stats, matches the single-device step."""
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=2,
+        num_embeddings=(8, 16),
+        dtype=jnp.float32,
+        remat=False,
+        base_lr=1e-3,
+        argmin_method="pallas",
+    )
+    model = VQVAE(cfg)
+    state = create_vqvae_train_state(model, KEY, np.zeros((1, 32, 32, 16, 1)))
+
+    vol = jax.random.uniform(
+        jax.random.PRNGKey(3), (4, 32, 32, 16, 1), minval=-0.5, maxval=4.0
+    )
+    batch = {
+        "volume": vol,
+        "num_valid_slices": jnp.full((4,), 16, jnp.int32),
+    }
+
+    step1 = make_train_step(model, donate=False)
+    s1, log1 = step1(state, batch)
+
+    mesh = make_mesh((4, 2), ("data", "space"))
+    step8 = make_train_step(model, mesh=mesh, donate=False)
+    with mesh:
+        s8, log8 = step8(state, batch)
+
+    np.testing.assert_allclose(float(log1["loss"]), float(log8["loss"]), rtol=1e-5)
+    for lvl in range(2):
+        q1 = s1.quantizer["encoder"][f"quantize_{lvl}"]
+        q8 = s8.quantizer["encoder"][f"quantize_{lvl}"]
+        # counts are integers in fp32: exact equality across shardings
+        np.testing.assert_array_equal(
+            np.asarray(q1["cluster_size"]), np.asarray(q8["cluster_size"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(q1["embed"]), np.asarray(q8["embed"]), rtol=1e-4, atol=1e-6
+        )

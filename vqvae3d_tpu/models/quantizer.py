@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vqvae3d_tpu.ops.quantizer_ops import l2_argmin
+from vqvae3d_tpu.ops.quantizer_ops import l2_argmin, l2_argmin_stats
+from vqvae3d_tpu.parallel.mesh import current_quantizer_mesh
 
 
 class QuantizerState(NamedTuple):
@@ -72,30 +73,20 @@ def ema_first_pass_init(state: QuantizerState, flat: jax.Array) -> QuantizerStat
 
 def ema_update(
     state: QuantizerState,
-    flat: jax.Array,
-    indices: jax.Array,
+    counts: jax.Array,
+    dw: jax.Array,
     decay: float,
     laplace_alpha: float,
 ) -> QuantizerState:
-    """EMA codebook update from (globally reduced) cluster stats."""
-    k = state.embed.shape[0]
-    # Global-batch cluster sums via a one-hot matmul on the MXU. A
-    # segment_sum/scatter formulation is ~50× slower here: TPU scatters with
-    # potentially-colliding indices lower to serialized updates (measured
-    # 1.1 s/step at N=131k vs ~ms for the matmul). fp32 + HIGHEST keeps the
-    # accumulation exact (the reference computes these stats in fp32,
-    # layers.py:638-643). Under a sharded batch XLA still inserts the
-    # cross-device reduction (the reference's all_reduce pair, :645-647).
-    one_hot = jax.nn.one_hot(indices, k, dtype=jnp.float32)  # (N, K)
-    counts = jnp.sum(one_hot, axis=0)
-    dw = jax.lax.dot_general(
-        one_hot,
-        flat,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (K, D)
+    """EMA codebook update from (globally reduced) cluster stats.
 
+    counts: (K,) global per-code assignment counts; dw: (K, D) global
+    per-code Σx — produced fused with the argmin lookup
+    (ops.quantizer_ops.l2_argmin_stats; the stats the reference all-reduces
+    at vqvae/layers.py:638-647). fp32 throughout, matching the reference's
+    fp32-pinned quantizer (layers.py:685).
+    """
+    k = state.embed.shape[0]
     cluster_size = state.cluster_size * decay + counts * (1.0 - decay)
     embed_avg = state.embed_avg * decay + dw * (1.0 - decay)
 
@@ -108,6 +99,86 @@ def ema_update(
         cluster_size=cluster_size,
         initialized=state.initialized,
     )
+
+
+def _lookup_specs(mesh, ndim: int):
+    """(in_spec for a rank-``ndim`` activation, out_spec for its indices):
+    batch dim on 'data', first spatial dim on 'space' when the mesh has it."""
+    from jax.sharding import PartitionSpec as P
+
+    axes = [None] * ndim
+    axes[0] = "data" if "data" in mesh.axis_names else None
+    if ndim >= 3 and "space" in mesh.axis_names:
+        axes[1] = "space"
+    return P(*axes), P(*axes[:-1])
+
+
+def _shardable(mesh, shape) -> bool:
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if len(shape) < 3 or shape[0] % sizes.get("data", 1) != 0:
+        return False
+    if shape[1] % sizes.get("space", 1) != 0:
+        return False
+    return True
+
+
+def _sharded_lookup_stats(x: jax.Array, embed: jax.Array, method: str):
+    """Fused nearest-code lookup + EMA stats, shard_mapped when a quantizer
+    mesh is active so the Pallas kernel runs per-shard (GSPMD would treat
+    the opaque pallas_call as replicated and all-gather the input). The
+    trailing psums are the explicit form of the reference's all_reduce pair
+    (vqvae/layers.py:645-647)."""
+    d = embed.shape[1]
+    mesh = current_quantizer_mesh()
+    if mesh is None or not _shardable(mesh, x.shape):
+        idx, counts, dw = l2_argmin_stats(x.reshape(-1, d), embed, method=method)
+        return idx.reshape(x.shape[:-1]), counts, dw
+
+    in_spec, idx_spec = _lookup_specs(mesh, x.ndim)
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(x_local, embed_rep):
+        flat_local = x_local.reshape(-1, d)
+        idx, counts, dw = l2_argmin_stats(flat_local, embed_rep, method=method)
+        counts = jax.lax.psum(counts, axis_name=mesh.axis_names)
+        dw = jax.lax.psum(dw, axis_name=mesh.axis_names)
+        return idx.reshape(x_local.shape[:-1]), counts, dw
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the checker would otherwise require
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(in_spec, P()),
+        out_specs=(idx_spec, P(), P()),
+        check_vma=False,
+    )(x, embed)
+
+
+def _sharded_lookup(x: jax.Array, embed: jax.Array, method: str):
+    """Eval-path nearest-code lookup (no stats), shard_mapped like above."""
+    d = embed.shape[1]
+    mesh = current_quantizer_mesh()
+    if mesh is None or not _shardable(mesh, x.shape):
+        return l2_argmin(x.reshape(-1, d), embed, method=method).reshape(
+            x.shape[:-1]
+        )
+
+    in_spec, idx_spec = _lookup_specs(mesh, x.ndim)
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(x_local, embed_rep):
+        flat_local = x_local.reshape(-1, d)
+        idx = l2_argmin(flat_local, embed_rep, method=method)
+        return idx.reshape(x_local.shape[:-1])
+
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(in_spec, P()),
+        out_specs=idx_spec,
+        check_vma=False,
+    )(x, embed)
 
 
 def quantize(
@@ -141,15 +212,14 @@ def quantize(
 
     # The lookup is non-differentiable (reference runs it under no_grad,
     # layers.py:689); stop_gradient keeps autodiff out of the Pallas kernel.
-    indices = l2_argmin(
-        jax.lax.stop_gradient(flat),
-        jax.lax.stop_gradient(state.embed),
-        method=argmin_method,
-    )
-    quantized = jnp.take(state.embed, indices, axis=0).reshape(x.shape)
-
+    xs = jax.lax.stop_gradient(x)
+    embed_s = jax.lax.stop_gradient(state.embed)
     if train:
-        state = ema_update(state, flat, indices, decay, laplace_alpha)
+        indices, counts, dw = _sharded_lookup_stats(xs, embed_s, argmin_method)
+        state = ema_update(state, counts, dw, decay, laplace_alpha)
+    else:
+        indices = _sharded_lookup(xs, embed_s, argmin_method)
+    quantized = jnp.take(state.embed, indices.reshape(-1), axis=0).reshape(x.shape)
 
     e_latent_loss = jnp.mean(jnp.square(quantized - jax.lax.stop_gradient(x)))
     loss = commitment_cost * e_latent_loss

@@ -69,3 +69,42 @@ def volume_sharding(mesh: Mesh) -> NamedSharding:
     if "space" in mesh.axis_names:
         return NamedSharding(mesh, P("data", "space", None, None, None))
     return NamedSharding(mesh, P("data", None, None, None, None))
+
+
+# ---------------------------------------------------------------------------
+# Quantizer sharding context
+# ---------------------------------------------------------------------------
+#
+# GSPMD treats pallas_call as an opaque op: under a sharded batch it would
+# all-gather the quantizer input and run the full kernel on every device.
+# The fix (PERF.md roadmap / VERDICT r1 #2) is to shard_map the fused
+# argmin+stats kernel so each device runs it on its local shard, with a
+# trailing psum for the EMA cluster stats (the explicit form of the
+# reference's all_reduce pair, vqvae/layers.py:645-647).
+#
+# The mesh is communicated to the (deeply nested) Quantizer module via this
+# trace-time context, set by make_train_step/make_eval_step around the
+# model application.
+
+import contextlib
+import threading
+
+_QUANTIZER_MESH = threading.local()
+
+
+@contextlib.contextmanager
+def quantizer_sharding(mesh: Optional[Mesh]):
+    """Trace-time context: quantizers shard_map their kernels over ``mesh``."""
+    prev = getattr(_QUANTIZER_MESH, "mesh", None)
+    _QUANTIZER_MESH.mesh = mesh
+    try:
+        yield
+    finally:
+        _QUANTIZER_MESH.mesh = prev
+
+
+def current_quantizer_mesh() -> Optional[Mesh]:
+    mesh = getattr(_QUANTIZER_MESH, "mesh", None)
+    if mesh is not None and np.prod(mesh.devices.shape) == 1:
+        return None  # single-device mesh: shard_map adds nothing
+    return mesh
