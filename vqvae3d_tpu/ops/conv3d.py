@@ -130,6 +130,38 @@ def conv3d(
 _SMALLC_MAX = 32  # use the custom backward when max(Cin, Cout) <= this
 
 
+def dw_conv3d_onedot(xp: jax.Array, g: jax.Array, kshape) -> jax.Array:
+    """Weight gradient of a stride-1 VALID NDHWC conv as ONE MXU dot.
+
+    xp: (B, Dp, Hp, Wp, Cin) pre-padded input; g: (B, Do, Ho, Wo, Cout).
+    The kd·kh depth/height-shifted x views concat on channels into
+    A (·, Wp, kd·kh·Cin) and the kw width-shifted zero-padded g views into
+    B (·, Wp, kw·Cout); contracting all position dims yields the complete
+    (kd·kh·Cin, kw·Cout) → (kd, kh, kw, Cin, Cout) dW with zero wasted
+    FLOPs. Returns fp32.
+    """
+    kd, kh, kw = kshape
+    b, dp, hp, wp, cin = xp.shape
+    _, od, oh, ow, cout = g.shape
+    assert (od, oh, ow) == (dp - kd + 1, hp - kh + 1, wp - kw + 1)
+    a = jnp.concatenate(
+        [xp[:, i : i + od, j : j + oh] for i in range(kd) for j in range(kh)],
+        axis=-1,
+    )  # (B, Do, Ho, Wp, kd·kh·Cin)
+    gext = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (kw - 1, kw - 1), (0, 0)))
+    bm = jnp.concatenate(
+        [gext[:, :, :, kw - 1 - k : kw - 1 - k + wp] for k in range(kw)],
+        axis=-1,
+    )  # (B, Do, Ho, Wp, kw·Cout)
+    dw_flat = jax.lax.dot_general(
+        a,
+        bm,
+        dimension_numbers=(((0, 1, 2, 3), (0, 1, 2, 3)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (kd·kh·Cin, kw·Cout)
+    return dw_flat.reshape(kd, kh, cin, kw, cout).transpose(0, 1, 3, 2, 4)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _conv3d_valid_smallc(xp: jax.Array, w: jax.Array, stride: Tuple[int, int, int]):
     return jax.lax.conv_general_dilated(
@@ -143,6 +175,8 @@ def _conv3d_valid_smallc_fwd(xp, w, stride):
 
 
 def _conv3d_valid_smallc_bwd(stride, res, g):
+    from vqvae3d_tpu.ops.pallas_conv import dw_conv3d_pallas, dw_conv3d_supported
+
     xp, w = res
     kd, kh, kw, cin, cout = w.shape
     b, od, oh, ow, _ = g.shape
@@ -160,8 +194,28 @@ def _conv3d_valid_smallc_bwd(stride, res, g):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
 
-    # dW: k³ shifted dots on the MXU (one (N, Cin)ᵀ·(N, Cout) per kernel
-    # offset; no im2col buffer — each shifted view streams once).
+    # dW, stride-1: single-pass Pallas kernel (no HBM shifted slices at all;
+    # see ops/pallas_conv.py). Interpret-mode only for now — on real TPU the
+    # DMA engine requires 128-multiple minor dims (PERF.md).
+    if dw_conv3d_supported(xp.shape, w.shape, stride):
+        dw = dw_conv3d_pallas(xp, g, (kd, kh, kw)).astype(w.dtype)
+        return dx.astype(xp.dtype), dw
+
+    # dW, stride-1 XLA path: ONE MXU dot instead of k³ shifted dots. The
+    # kd·kh depth/height-shifted x views concat on channels into
+    # A (N, kd·kh·Cin) and the kw width-shifted zero-padded g views into
+    # B (N, kw·Cout); contracting N yields the complete
+    # (kd·kh·Cin, kw·Cout) = dW with zero wasted FLOPs. Profiled at 256-res:
+    # the 27-slice form spent ~60% of step time in slice/copy HBM
+    # materializations; this form materializes A once (~kd·kh/k³ the
+    # traffic) and lets one big dot stream it.
+    if tuple(stride) == (1, 1, 1) and (kd, kh, kw) != (1, 1, 1):
+        dw = dw_conv3d_onedot(xp, g, (kd, kh, kw)).astype(w.dtype)
+        return dx.astype(xp.dtype), dw
+
+    # dW fallback (strided convs): k³ shifted dots on the MXU (one
+    # (N, Cin)ᵀ·(N, Cout) per kernel offset; no im2col buffer — each
+    # shifted view streams once).
     gf = g.reshape(-1, cout)
     sd, sh, sw = stride
     dots = []
