@@ -27,6 +27,7 @@ from vqvae3d_tpu.models.pixelcnn import PixelCNN, PixelCNNConfig
 from vqvae3d_tpu.models.pixelsnail import PixelSNAIL, PixelSNAILConfig
 from vqvae3d_tpu.sample.ar_sample import make_ancestral_sampler
 from vqvae3d_tpu.sample.cached_sample import make_cached_sampler
+from vqvae3d_tpu.sample.cached_snail import make_cached_snail_sampler
 from vqvae3d_tpu.train.checkpoint import load_config, restore_checkpoint
 from vqvae3d_tpu.train.prior_train import create_prior_train_state
 
@@ -88,6 +89,8 @@ def main(args):
 
     if args.sampler == "cached" and args.use_model == "pixelcnn":
         sampler = make_cached_sampler(model, dims, args.batch_size, tau=args.tau)
+    elif args.sampler == "cached":  # pixelsnail: KV-cached attention sampler
+        sampler = make_cached_snail_sampler(model, dims, args.batch_size, tau=args.tau)
     else:
         sampler = make_ancestral_sampler(model, dims, args.batch_size, tau=args.tau)
     rng = jax.random.PRNGKey(args.seed)

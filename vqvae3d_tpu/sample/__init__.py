@@ -1,5 +1,4 @@
 from vqvae3d_tpu.sample.ar_sample import (
     ancestral_sample,
     make_ancestral_sampler,
-    gumbel_softmax_sample,
 )

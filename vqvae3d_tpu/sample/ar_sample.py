@@ -31,18 +31,6 @@ from vqvae3d_tpu.models.prior_utils import idx_to_one_hot
 from vqvae3d_tpu.ops.resize import trilinear_resize
 
 
-def gumbel_softmax_sample(rng, logits, tau: float = 1.0, hard: bool = True):
-    """Reference-parity sampling primitive (torch F.gumbel_softmax)."""
-    g = jax.random.gumbel(rng, logits.shape, logits.dtype)
-    y = jax.nn.softmax((logits + g) / tau, axis=-1)
-    if hard:
-        idx = jnp.argmax(y, axis=-1)
-        y_hard = jax.nn.one_hot(idx, logits.shape[-1], dtype=logits.dtype)
-        y = y_hard + jax.lax.stop_gradient(y) - jax.lax.stop_gradient(y)
-        y = y_hard
-    return y
-
-
 def ancestral_sample(
     model,
     params,

@@ -185,12 +185,17 @@ def _height_tower(layers, s_slice, d2h_slice, cond_slice, half):
 # Phase C: per-voxel width chain
 # ---------------------------------------------------------------------------
 
-def _width_step(layers, s_vec, s_prev_vec, d2w_vec, h2w_vec, cond_vec, v_caches):
+def _width_step(layers, s_vec, s_prev_vec, d2w_vec, h2w_vec, cond_vec, v_caches,
+                first_col=False):
     """One voxel of the width chain.
 
     s_vec / s_prev_vec: parse_input embedding at i2 / i2−1 (B, C).
     d2w_vec/h2w_vec: per-layer cached injections at this voxel (B, br).
     v_caches: per-layer (B, ws−1, br) previous post-act branch values.
+    first_col: (traced bool) i2 == 0 — the mask-'A' right-shift pads the
+    POST-activation value with literal 0 at the first column
+    (causal_blocks.shift_right_3d on u), so layer-0's u must be zeroed
+    there, not ELU(0+bias1a)+bias1b.
     Returns (w_final (B, C), new_v_caches).
     """
     w = s_vec
@@ -199,6 +204,7 @@ def _width_step(layers, s_vec, s_prev_vec, d2w_vec, h2w_vec, cond_vec, v_caches)
     for li, lp in enumerate(layers):
         if lp.is_first:
             u = ELU(w_prev_raw + lp.s["1a"]) + lp.s["1b"]  # 'A' right-shift
+            u = jnp.where(first_col, jnp.zeros_like(u), u)
         else:
             u = ELU(w + lp.s["1a"]) + lp.s["1b"]
         t = _mm(u, lp.c1["width_conv"]["kernel"])
@@ -340,7 +346,8 @@ def cached_ancestral_sample(
                     else None
                 )
                 w_fin, v_caches = _width_step(
-                    layers, s_vec, s_prev, d2w_vec, h2w_vec, cond_vec, v_caches
+                    layers, s_vec, s_prev, d2w_vec, h2w_vec, cond_vec, v_caches,
+                    first_col=(i2 == 0),
                 )
                 total = (
                     jax.lax.dynamic_index_in_dim(d_fin_row, i2, 1, False)

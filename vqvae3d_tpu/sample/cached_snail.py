@@ -1,0 +1,669 @@
+"""Cached incremental ancestral sampling for PixelSNAIL (KV-cached attention).
+
+Extends the three-phase cached PixelCNN sampler (cached_sample.py) through
+CausalAttentionPixelBlock (VERDICT r1 #3; reference sampling loop to beat:
+/root/reference/pixel_model/pixelsnail.py:219-298, O(V²) full forwards with
+a recompile per prefix). Key observations that make the phase decomposition
+survive attention:
+
+  * Stream closure holds THROUGH attention. Depth-stream activations at
+    slice i0 are functions of x[slices < i0] only (the mask-'A' shift in
+    to_causal), so once slice i0−1 is sampled, a full-grid depth pass —
+    including full causal attention over the flattened raster — yields
+    exact depth-stream values for every position of slice i0.
+    Height-stream values at row (i0, i1) are functions of x[< i0] ∪
+    x[i0, < i1]; width-stream values at a voxel are final at that voxel.
+  * Attention keys/values therefore become FINAL per stream at different
+    granularities: depth K/V are recomputed per slice (full grid, masked),
+    height K/V are committed once per completed slice, width K/V appended
+    once per sampled voxel — the per-stream KV caches.
+
+Attention role convention (mirrors models/causal_blocks.py:676-691, which
+mirrors the reference's swapped call): the query vector at position t comes
+from the keys-half of key_value_proj(stack, out, background); the attended
+(key-side) vectors come from query_proj(out, background); values from the
+values-half of key_value_proj.
+
+Cost: s0 full-grid depth passes + s0·s1 slice-local height passes + V
+voxel steps (+ 1 height commit pass per slice) — ~(s0 + s1 + s2)/3
+full-forward-equivalents for the convs plus O(V²·dh) attention MACs
+(inherent to attention sampling), vs the reference's O(V²) full forwards.
+
+Supports PreActFixupCausalResBlock blocks with or without conditioning —
+the published PixelSNAIL jobs are unconditional (train_pixelsnail_*.job:
+--use-conditioning False).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vqvae3d_tpu.models.prior_utils import generate_background, idx_to_one_hot
+from vqvae3d_tpu.ops.resize import trilinear_resize
+from vqvae3d_tpu.sample.cached_sample import (
+    ELU,
+    _conv_causal_nd,
+    _LayerParams,
+    _mm,
+    _shift_front,
+)
+
+
+class _SnailBlock:
+    """Param view over one CausalAttentionPixelBlock subtree."""
+
+    def __init__(self, p, num_layers_per_block: int, has_cond: bool):
+        self.causal = [
+            _LayerParams(p[f"causal_{j}"], has_cond, is_first=False)
+            for j in range(num_layers_per_block)
+        ]
+        self.kv = p["key_value_proj"]
+        self.q = p["query_proj"]
+        self.out_proj = _LayerParams(p["out_proj"], has_cond, is_first=False)
+        self.aux = p["out_proj"]["aux"]
+
+
+def _proj(x, conv_p, stream: str):
+    """1x1x1 CausalConv3dAdd component for one stream (mask 'B', k=1 —
+    plain pointwise conv, causal_blocks.CausalConv3dAdd with w_size=1)."""
+    c = conv_p[f"{stream}_conv"]
+    return _mm(x, c["kernel"]) + c["bias"].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Attention helpers (fp32, explicit raster-order masks)
+# ---------------------------------------------------------------------------
+
+
+def _attend(q, K, V, nh: int, q_idx, k_valid_upto):
+    """q: (B, nq, br) queries; K/V: (B, S, br); q_idx: (nq,) flat raster
+    indices of the queries; k_valid_upto: per-query max attended flat index
+    (inclusive) — normally q_idx itself (tril incl. diagonal).
+
+    Returns (B, nq, br) attention outputs.
+    """
+    b, nq, br = q.shape
+    s = K.shape[1]
+    dh = br // nh
+    qh = (q * dh**-0.5).reshape(b, nq, nh, dh)
+    kh = K.reshape(b, s, nh, dh)
+    vh = V.reshape(b, s, nh, dh)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh, kh, precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.float32)
+    k_idx = jnp.arange(s)
+    mask = k_idx[None, :] <= k_valid_upto[:, None]  # (nq, S)
+    logits = jnp.where(mask[None, None], logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", w, vh, precision=jax.lax.Precision.HIGHEST
+    ).reshape(b, nq, br)
+
+
+def _attend_grid_chunked(q_grid, K, V, nh: int, chunk: int):
+    """Full-grid causal self-attention over the flattened raster, queries
+    processed in chunks so the (V, V) score matrix never materializes.
+
+    q_grid/K/V: (B, V, br) in raster order. Chunk must divide V.
+    """
+    b, v, br = q_grid.shape
+    n_chunks = v // chunk
+    qc = q_grid.reshape(b, n_chunks, chunk, br).transpose(1, 0, 2, 3)
+
+    def one(args):
+        i, qi = args
+        q_idx = i * chunk + jnp.arange(chunk)
+        return _attend(qi, K, V, nh, q_idx, q_idx)
+
+    outs = jax.lax.map(one, (jnp.arange(n_chunks), qc))
+    return outs.transpose(1, 0, 2, 3).reshape(b, v, br)
+
+
+# ---------------------------------------------------------------------------
+# Per-layer stream updates (cached forms of PreActFixupCausalResBlock)
+# ---------------------------------------------------------------------------
+
+
+def _depth_layer(lp: _LayerParams, d, cond, aux, half):
+    """Full-grid depth-stream update. d: (B,s0,s1,s2,C). Returns
+    (d_new, d2h, d2w) with d2h/d2w the ExpandRF injections (pre-aux)."""
+    u = ELU(d + lp.s["1a"]) + lp.s["1b"]
+    if lp.is_first:
+        u = _shift_front(u, 1)
+    t = _mm(u, lp.c1["depth_conv"]["kernel"])
+    erf = _mm(t, lp.erf_d["kernel"]) + lp.erf_d["bias"].astype(jnp.float32)
+    d2h, d2w = jnp.split(erf, 2, axis=-1)
+    if aux is not None:
+        t = t + _proj(ELU(aux), lp.aux_p, "depth")
+    v = ELU(t + lp.s["2a"]) + lp.s["2b"]
+    b2 = _conv_causal_nd(v, lp.c2["depth_conv"]["kernel"], causal_axes=(0,), half=half)
+    if cond is not None:
+        b2 = b2 + cond
+    w3 = ELU(b2 + lp.s["3a"]) + lp.s["3b"]
+    out = _mm(w3, lp.c3["depth_conv"]["kernel"]) * lp.scale + lp.s["4"]
+    if lp.skip is not None:
+        sk_in = _shift_front(d, 1) if lp.is_first else d
+        sk = _proj(sk_in, lp.skip_p, "depth")
+        return out + sk, d2h, d2w
+    return out + d, d2h, d2w
+
+
+def _height_layer(lp: _LayerParams, h, d2h, cond, aux, half):
+    """Slice-local height-stream update. h: (B,s1,s2,C); d2h: (B,s1,s2,br).
+    Returns (h_new, h2w)."""
+    u = ELU(h + lp.s["1a"]) + lp.s["1b"]
+    if lp.is_first:
+        u = _shift_front(u, 1)
+    t_pre = _mm(u, lp.c1["height_conv"]["kernel"])
+    h2w = _mm(t_pre, lp.erf_h["kernel"]) + lp.erf_h["bias"].astype(jnp.float32)
+    t = t_pre + d2h
+    if aux is not None:
+        t = t + _proj(ELU(aux), lp.aux_p, "height")
+    v = ELU(t + lp.s["2a"]) + lp.s["2b"]
+    kern = lp.c2["height_conv"]["kernel"][0]  # (k-1, k, Cin, Cout)
+    b2 = _conv_causal_nd(v, kern, causal_axes=(0,), half=half)
+    if cond is not None:
+        b2 = b2 + cond
+    w3 = ELU(b2 + lp.s["3a"]) + lp.s["3b"]
+    out = _mm(w3, lp.c3["height_conv"]["kernel"]) * lp.scale + lp.s["4"]
+    if lp.skip is not None:
+        sk_in = _shift_front(h, 1) if lp.is_first else h
+        sk = _proj(sk_in, lp.skip_p, "height")
+        return out + sk, h2w
+    return out + h, h2w
+
+
+def _width_layer(lp: _LayerParams, w_vec, w_prev_raw, d2w_vec, h2w_vec, cond_vec,
+                 aux_vec, v_cache, first_col=False):
+    """One-voxel width-stream update. w_vec: (B, C) current width value;
+    v_cache: (B, ws-1, br) previous post-2b branch taps; first_col: (traced
+    bool) i2 == 0 — the model's mask-'A' shift pads the POST-activation u
+    with literal 0 at the first column, so layer-0's u is zeroed there.
+    Returns (w_new, new_cache)."""
+    if lp.is_first:
+        u = ELU(w_prev_raw + lp.s["1a"]) + lp.s["1b"]
+        u = jnp.where(first_col, jnp.zeros_like(u), u)
+    else:
+        u = ELU(w_vec + lp.s["1a"]) + lp.s["1b"]
+    t = _mm(u, lp.c1["width_conv"]["kernel"])
+    t = t + d2w_vec + h2w_vec
+    if aux_vec is not None:
+        t = t + _proj(ELU(aux_vec), lp.aux_p, "width")
+    v = ELU(t + lp.s["2a"]) + lp.s["2b"]
+    wk = lp.c2["width_conv"]["kernel"]  # (1, 1, ws, br, br)
+    ws = wk.shape[2]
+    taps = jnp.concatenate([v_cache, v[:, None, :]], axis=1)
+    b2 = jnp.einsum(
+        "bsi,sio->bo", taps, wk[0, 0].astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    new_cache = taps[:, 1:, :] if ws > 1 else v_cache
+    if cond_vec is not None:
+        b2 = b2 + cond_vec
+    w3 = ELU(b2 + lp.s["3a"]) + lp.s["3b"]
+    out = _mm(w3, lp.c3["width_conv"]["kernel"]) * lp.scale + lp.s["4"]
+    if lp.skip is not None:
+        sk_in = w_prev_raw if lp.is_first else w_vec
+        sk = _proj(sk_in, lp.skip_p, "width")
+        return out + sk, new_cache
+    return out + w_vec, new_cache
+
+
+# _LayerParams extensions for the SNAIL blocks (aux conv + skip as dict)
+def _augment_layer(lp: _LayerParams, p):
+    lp.aux_p = p.get("aux")
+    lp.skip_p = p.get("skip_conv")
+    return lp
+
+
+def _make_layer(p, has_cond, is_first):
+    lp = _LayerParams(p, has_cond, is_first)
+    return _augment_layer(lp, p)
+
+
+# ---------------------------------------------------------------------------
+# Program extraction
+# ---------------------------------------------------------------------------
+
+
+class _Program(NamedTuple):
+    to_causal: object
+    blocks: List[_SnailBlock]
+    w_in: jax.Array
+    b_in: jax.Array
+    w_out: jax.Array
+    b_out: jax.Array
+    nh: int
+    branch: int
+    half: int
+
+    @property
+    def all_layers(self):
+        """Flat list of causal layers in forward order (for conditioning)."""
+        out = [self.to_causal]
+        for blk in self.blocks:
+            out.extend(blk.causal)
+            out.append(blk.out_proj)
+        return out
+
+
+def _extract_program(model, params) -> _Program:
+    cfg = model.config
+    has_cond = cfg.use_conditioning
+    to_causal = _make_layer(params["to_causal"], has_cond, is_first=True)
+    blocks = []
+    for i in range(cfg.num_blocks):
+        p = params[f"block_{i}"]
+        blk = _SnailBlock(p, cfg.num_layers_per_block, has_cond)
+        for lp, lpp in zip(blk.causal, [p[f"causal_{j}"] for j in range(cfg.num_layers_per_block)]):
+            _augment_layer(lp, lpp)
+        _augment_layer(blk.out_proj, p["out_proj"])
+        blocks.append(blk)
+    branch = cfg.model_dim // cfg.bottleneck_divisor
+    return _Program(
+        to_causal=to_causal,
+        blocks=blocks,
+        w_in=params["parse_input"]["kernel"],
+        b_in=params["parse_input"]["bias"].astype(jnp.float32),
+        w_out=params["parse_output"]["kernel"],
+        b_out=params["parse_output"]["bias"].astype(jnp.float32),
+        nh=cfg.num_heads,
+        branch=branch,
+        half=cfg.kernel_size // 2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase A: full-grid depth pass (convs + full causal attention per block)
+# ---------------------------------------------------------------------------
+
+
+def _depth_phase(prog: _Program, s_full, bg, cond_layers):
+    """s_full: parse_input(x) (B,s0,s1,s2,C) fp32; bg: (B,s0,s1,s2,3).
+
+    Returns (d2h_all, d2w_all, d_final) where d2h/d2w are flat per-causal-
+    layer full-grid caches (ordering = prog.all_layers).
+    """
+    b, s0, s1, s2, _ = s_full.shape
+    v_total = s0 * s1 * s2
+    chunk = s1 * s2
+    ci = 0  # index into cond_layers / all_layers ordering
+    d = s_full
+    d2h_all, d2w_all = [], []
+
+    def cond_at(i):
+        return cond_layers[i] if cond_layers is not None else None
+
+    d, d2h, d2w = _depth_layer(prog.to_causal, d, cond_at(ci), None, prog.half)
+    d2h_all.append(d2h)
+    d2w_all.append(d2w)
+    ci += 1
+
+    for blk in prog.blocks:
+        stack_d = d
+        out_d = d
+        for lp in blk.causal:
+            out_d, d2h, d2w = _depth_layer(lp, out_d, cond_at(ci), None, prog.half)
+            d2h_all.append(d2h)
+            d2w_all.append(d2w)
+            ci += 1
+        # attention (depth stream): Q from kv-keys, K from q_proj, V from
+        # kv-values (the reference's swapped-role convention)
+        kv_in = jnp.concatenate([stack_d, out_d, bg], axis=-1)
+        kv = _proj(kv_in, blk.kv, "depth")
+        q_side = kv[..., : prog.branch].reshape(b, v_total, prog.branch)
+        vals = kv[..., prog.branch :].reshape(b, v_total, prog.branch)
+        q_in = jnp.concatenate([out_d, bg], axis=-1)
+        k_side = _proj(q_in, blk.q, "depth").reshape(b, v_total, prog.branch)
+        attn = _attend_grid_chunked(q_side, k_side, vals, prog.nh, chunk)
+        attn = attn.reshape(b, s0, s1, s2, prog.branch)
+        out_d, d2h, d2w = _depth_layer(
+            blk.out_proj, out_d, cond_at(ci), attn, prog.half
+        )
+        d2h_all.append(d2h)
+        d2w_all.append(d2w)
+        ci += 1
+        d = out_d
+    return d2h_all, d2w_all, d
+
+
+# ---------------------------------------------------------------------------
+# Phase B: slice-local height pass with committed KV caches
+# ---------------------------------------------------------------------------
+
+
+def _height_phase(prog: _Program, s_slice, bg_slice, i0, d2h_slices, cond_slices,
+                  kh_caches, vh_caches):
+    """One height pass over slice i0.
+
+    s_slice: parse_input(x)[:, i0] (B,s1,s2,C); d2h_slices: flat per-layer
+    (B,s1,s2,br) injections; kh_caches/vh_caches: per-block (B,V,br)
+    committed height K/V (valid strictly below slice i0).
+
+    Returns (h2w_all [flat per layer], h_final_slice,
+             k_slice_per_block, v_slice_per_block) — the latter two are this
+    slice's height K/V (valid rows ≤ current sampling row; used by the
+    caller both for in-slice attention and for the per-slice commit).
+    """
+    b, s1, s2, _ = s_slice.shape
+    slice_v = s1 * s2
+    ci = 0
+    h = s_slice
+    h2w_all = []
+    k_out, v_out = [], []
+
+    def cond_at(i):
+        return cond_slices[i] if cond_slices is not None else None
+
+    h, h2w = _height_layer(
+        prog.to_causal, h, d2h_slices[ci], cond_at(ci), None, prog.half
+    )
+    h2w_all.append(h2w)
+    ci += 1
+
+    for bi, blk in enumerate(prog.blocks):
+        stack_h = h
+        out_h = h
+        for lp in blk.causal:
+            out_h, h2w = _height_layer(
+                lp, out_h, d2h_slices[ci], cond_at(ci), None, prog.half
+            )
+            h2w_all.append(h2w)
+            ci += 1
+        kv_in = jnp.concatenate([stack_h, out_h, bg_slice], axis=-1)
+        kv = _proj(kv_in, blk.kv, "height")
+        q_side = kv[..., : prog.branch].reshape(b, slice_v, prog.branch)
+        vals = kv[..., prog.branch :].reshape(b, slice_v, prog.branch)
+        q_in = jnp.concatenate([out_h, bg_slice], axis=-1)
+        k_side = _proj(q_in, blk.q, "height").reshape(b, slice_v, prog.branch)
+        k_out.append(k_side)
+        v_out.append(vals)
+
+        # keys = committed prefix (slices < i0) ∪ this slice (causal within)
+        K = jax.lax.dynamic_update_slice(
+            kh_caches[bi], k_side, (0, i0 * slice_v, 0)
+        )
+        V = jax.lax.dynamic_update_slice(
+            vh_caches[bi], vals, (0, i0 * slice_v, 0)
+        )
+        q_idx = i0 * slice_v + jnp.arange(slice_v)
+        attn = _attend(q_side, K, V, prog.nh, q_idx, q_idx)
+        attn = attn.reshape(b, s1, s2, prog.branch)
+        out_h, h2w = _height_layer(
+            blk.out_proj, out_h, d2h_slices[ci], cond_at(ci), attn, prog.half
+        )
+        h2w_all.append(h2w)
+        ci += 1
+        h = out_h
+    return h2w_all, h, k_out, v_out
+
+
+# ---------------------------------------------------------------------------
+# Phase C: per-voxel width step with appended KV caches
+# ---------------------------------------------------------------------------
+
+
+def _width_phase_step(prog: _Program, s_vec, s_prev, bg_vec, flat_idx,
+                      d2w_vecs, h2w_vecs, cond_vecs, v_caches,
+                      kw_caches, vw_caches, first_col=False):
+    """One voxel of the width chain through all blocks.
+
+    s_vec/s_prev: parse_input at t / t−1 (B, C); bg_vec: (B, 3);
+    flat_idx: scalar raster index of t; v_caches: flat per-layer conv tap
+    caches; kw/vw_caches: per-block (B, V, br) width K/V (valid < t).
+
+    Returns (w_final, new_v_caches, new_kw, new_vw).
+    """
+    b = s_vec.shape[0]
+    ci = 0
+    li = 0  # v_cache index (same flat ordering)
+    w = s_vec
+    new_vc = list(v_caches)
+    new_kw = list(kw_caches)
+    new_vw = list(vw_caches)
+
+    def cond_at(i):
+        return cond_vecs[i] if cond_vecs is not None else None
+
+    w, new_vc[li] = _width_layer(
+        prog.to_causal, w, s_prev, d2w_vecs[ci], h2w_vecs[ci], cond_at(ci),
+        None, v_caches[li], first_col=first_col,
+    )
+    ci += 1
+    li += 1
+
+    for bi, blk in enumerate(prog.blocks):
+        stack_w = w
+        out_w = w
+        for lp in blk.causal:
+            out_w, new_vc[li] = _width_layer(
+                lp, out_w, s_prev, d2w_vecs[ci], h2w_vecs[ci], cond_at(ci),
+                None, v_caches[li],
+            )
+            ci += 1
+            li += 1
+        kv_in = jnp.concatenate([stack_w, out_w, bg_vec], axis=-1)  # (B, ·)
+        kv = _proj(kv_in, blk.kv, "width")
+        q_side = kv[..., : prog.branch][:, None, :]  # (B, 1, br)
+        val = kv[..., prog.branch :]
+        q_in = jnp.concatenate([out_w, bg_vec], axis=-1)
+        k_side = _proj(q_in, blk.q, "width")
+        K = jax.lax.dynamic_update_slice(
+            new_kw[bi], k_side[:, None, :], (0, flat_idx, 0)
+        )
+        V = jax.lax.dynamic_update_slice(
+            new_vw[bi], val[:, None, :], (0, flat_idx, 0)
+        )
+        new_kw[bi] = K
+        new_vw[bi] = V
+        attn = _attend(
+            q_side, K, V, prog.nh, flat_idx[None], flat_idx[None]
+        )[:, 0]  # (B, br)
+        out_w, new_vc[li] = _width_layer(
+            blk.out_proj, out_w, s_prev, d2w_vecs[ci], h2w_vecs[ci],
+            cond_at(ci), attn, v_caches[li],
+        )
+        ci += 1
+        li += 1
+        w = out_w
+    return w, new_vc, new_kw, new_vw
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+def cached_snail_sample(
+    model,
+    params,
+    rng: jax.Array,
+    dims: Tuple[int, int, int],
+    batch_size: int,
+    condition_idx: Optional[jax.Array] = None,
+    tau: float = 1.0,
+    forced_x: Optional[jax.Array] = None,
+):
+    """Sample (B, *dims) int32 code grids from a PixelSNAIL prior.
+
+    ``forced_x``: if given ((B, *dims) int32), don't sample — force these
+    values and return the per-voxel logits instead (exactness testing
+    against the model's one-shot forward).
+    """
+    cfg = model.config
+    k = cfg.input_dim
+    s0, s1, s2 = dims
+    b = batch_size
+    slice_v = s1 * s2
+    v_total = s0 * slice_v
+    n_layers = cfg.num_blocks * (cfg.num_layers_per_block + 1) + 1
+    has_cond = cfg.use_conditioning
+
+    prog = _extract_program(model, params)
+    bg = generate_background(b, dims).astype(jnp.float32)
+
+    cond_layers = None
+    if has_cond:
+        assert condition_idx is not None
+        cond_oh = idx_to_one_hot(condition_idx, cfg.condition_dim)
+        cond_up = trilinear_resize(cond_oh, dims).astype(jnp.float32)
+        cond_emb = _mm(cond_up, params["embed_condition"]["kernel"]) + params[
+            "embed_condition"
+        ]["bias"].astype(jnp.float32)
+        cond_layers = [
+            _mm(cond_emb, lp.cond["kernel"]) + lp.cond["bias"].astype(jnp.float32)
+            for lp in prog.all_layers
+        ]
+
+    def parse_in(x_oh):
+        return _mm(x_oh, prog.w_in) + prog.b_in
+
+    x0 = jnp.zeros((b, s0, s1, s2, k), jnp.float32)
+    br = prog.branch
+    nb = cfg.num_blocks
+
+    kh0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
+    vh0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
+    kw0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
+    vw0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
+    logits0 = jnp.zeros((b, s0, s1, s2, k), jnp.float32)
+
+    forced = forced_x is not None
+    forced_oh = (
+        jax.nn.one_hot(forced_x, k, dtype=jnp.float32) if forced else None
+    )
+
+    def slice_body(i0, carry):
+        x, rng, kh, vh, kw, vw, logits_acc = carry
+        s_full = parse_in(x)
+        d2h_full, d2w_full, d_fin_full = _depth_phase(prog, s_full, bg, cond_layers)
+
+        take = lambda a: jax.lax.dynamic_index_in_dim(a, i0, 1, False)
+        d2h_sl = [take(a) for a in d2h_full]
+        d2w_sl = [take(a) for a in d2w_full]
+        d_fin_sl = take(d_fin_full)
+        bg_sl = take(bg)
+        cond_sl = [take(c) for c in cond_layers] if has_cond else None
+
+        def row_body(i1, carry):
+            x, rng, kw, vw, logits_acc = carry
+            x_sl = jax.lax.dynamic_index_in_dim(x, i0, 1, False)
+            s_sl = parse_in(x_sl)
+            h2w_sl, h_fin_sl, _, _ = _height_phase(
+                prog, s_sl, bg_sl, i0, d2h_sl, cond_sl, kh, vh
+            )
+            taker = lambda a: jax.lax.dynamic_index_in_dim(a, i1, 1, False)
+            h2w_row = [taker(a) for a in h2w_sl]
+            h_fin_row = taker(h_fin_sl)
+            d2w_row = [taker(a) for a in d2w_sl]
+            d_fin_row = taker(d_fin_sl)
+            bg_row = taker(bg_sl)
+            cond_row = [taker(c) for c in cond_sl] if has_cond else None
+
+            all_lps = prog.all_layers
+            v_caches0 = [
+                jnp.zeros(
+                    (b, lp.c2["width_conv"]["kernel"].shape[2] - 1,
+                     lp.c2["width_conv"]["kernel"].shape[-1]),
+                    jnp.float32,
+                )
+                for lp in all_lps
+            ]
+            s_prev0 = jnp.zeros((b, s_full.shape[-1]), jnp.float32)
+
+            def voxel_body(i2, carry):
+                x, rng, v_caches, s_prev, kw, vw, logits_acc = carry
+                x_vec = jax.lax.dynamic_slice(
+                    x, (0, i0, i1, i2, 0), (b, 1, 1, 1, k)
+                ).reshape(b, k)
+                s_vec = parse_in(x_vec)
+                tk = lambda a: jax.lax.dynamic_index_in_dim(a, i2, 1, False)
+                d2w_vec = [tk(a) for a in d2w_row]
+                h2w_vec = [tk(a) for a in h2w_row]
+                cond_vec = [tk(c) for c in cond_row] if has_cond else None
+                bg_vec = tk(bg_row)
+                flat_idx = i0 * slice_v + i1 * s2 + i2
+
+                w_fin, v_caches, kw, vw = _width_phase_step(
+                    prog, s_vec, s_prev, bg_vec, flat_idx,
+                    d2w_vec, h2w_vec, cond_vec, v_caches, kw, vw,
+                    first_col=(i2 == 0),
+                )
+                total = tk(d_fin_row) + tk(h_fin_row) + w_fin
+                logits = _mm(total, prog.w_out) + prog.b_out
+                rng, sub = jax.random.split(rng)
+                if forced:
+                    one_hot = jax.lax.dynamic_slice(
+                        forced_oh, (0, i0, i1, i2, 0), (b, 1, 1, 1, k)
+                    ).reshape(b, k)
+                    logits_acc = jax.lax.dynamic_update_slice(
+                        logits_acc, logits.reshape(b, 1, 1, 1, k),
+                        (0, i0, i1, i2, 0),
+                    )
+                else:
+                    sampled = jax.random.categorical(sub, logits / tau, axis=-1)
+                    one_hot = jax.nn.one_hot(sampled, k, dtype=jnp.float32)
+                x = jax.lax.dynamic_update_slice(
+                    x, one_hot.reshape(b, 1, 1, 1, k), (0, i0, i1, i2, 0)
+                )
+                s_prev_new = parse_in(one_hot)
+                return (x, rng, v_caches, s_prev_new, kw, vw, logits_acc)
+
+            x, rng, _, _, kw, vw, logits_acc = jax.lax.fori_loop(
+                0, s2, voxel_body,
+                (x, rng, v_caches0, s_prev0, kw, vw, logits_acc),
+            )
+            return (x, rng, kw, vw, logits_acc)
+
+        x, rng, kw, vw, logits_acc = jax.lax.fori_loop(
+            0, s1, row_body, (x, rng, kw, vw, logits_acc)
+        )
+
+        # commit: height K/V of the now-complete slice i0
+        x_sl = jax.lax.dynamic_index_in_dim(x, i0, 1, False)
+        s_sl = parse_in(x_sl)
+        _, _, k_sl, v_sl = _height_phase(
+            prog, s_sl, bg_sl, i0, d2h_sl, cond_sl, kh, vh
+        )
+        kh = [
+            jax.lax.dynamic_update_slice(c, ks, (0, i0 * slice_v, 0))
+            for c, ks in zip(kh, k_sl)
+        ]
+        vh = [
+            jax.lax.dynamic_update_slice(c, vs, (0, i0 * slice_v, 0))
+            for c, vs in zip(vh, v_sl)
+        ]
+        return (x, rng, kh, vh, kw, vw, logits_acc)
+
+    x, _, _, _, _, _, logits_acc = jax.lax.fori_loop(
+        0, s0, slice_body, (x0, rng, kh0, vh0, kw0, vw0, logits0)
+    )
+    if forced:
+        return logits_acc
+    return jnp.argmax(x, axis=-1).astype(jnp.int32)
+
+
+def make_cached_snail_sampler(
+    model, dims: Tuple[int, int, int], batch_size: int, tau: float = 1.0
+):
+    """Jitted cached PixelSNAIL sampler (same signature as the PixelCNN
+    cached sampler)."""
+    if model.config.use_conditioning:
+
+        @jax.jit
+        def sampler(params, rng, condition_idx):
+            return cached_snail_sample(
+                model, params, rng, dims, batch_size, condition_idx, tau
+            )
+
+    else:
+
+        @jax.jit
+        def sampler(params, rng):
+            return cached_snail_sample(
+                model, params, rng, dims, batch_size, None, tau
+            )
+
+    return sampler
