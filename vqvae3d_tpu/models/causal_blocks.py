@@ -510,6 +510,12 @@ class GatedResBlock(nn.Module):
         return tuple(out)
 
 
+# Above this sequence length the dense O(S²) logits path gives way to the
+# chunked online-softmax path (the bottom code level is 128 voxels; the mid
+# level is 8192 — exactly the case the dense path can't afford).
+_DENSE_MAX_SEQ = 2048
+
+
 def _flash_causal_attention(qh, kh, vh, sm_scale: float):
     """Flash causal attention via the bundled Pallas TPU kernel.
 
@@ -546,14 +552,20 @@ class CausalAttention(nn.Module):
     Paths:
       * Pallas flash kernel (``use_flash='auto'`` on TPU) whenever logit
         dropout is inactive — O(S) memory instead of the dense O(S²).
-      * Dense fallback for train-time logit dropout (the reference quirk:
-        dropout on pre-mask logits with dropped entries set to −1e3,
-        layers.py:636-639) and for non-TPU backends.
+      * Chunked online-softmax attention (ops/chunked_attention.py) when
+        logit dropout IS active (the reference quirk: dropout on pre-mask
+        logits with dropped entries set to −1e3, layers.py:636-639 — live
+        in all published PixelSNAIL train configs) and for long sequences
+        off-TPU: O(S·block) memory, rematerialized backward. This is what
+        makes reference-config PixelSNAIL training affordable at the mid
+        level's S=8192 (dense would need 2 GB of logits per stream).
+      * Dense for short sequences (≤ _DENSE_MAX_SEQ).
     """
 
     num_heads: int = 8
     dropout_prob: float = 0.5
     use_flash: str = "auto"  # 'auto' | 'never' | 'always'
+    use_chunked: str = "auto"  # 'auto' | 'never' | 'always'
 
     @nn.compact
     def __call__(
@@ -594,6 +606,26 @@ class CausalAttention(nn.Module):
             kh = k.reshape(b, seq, nh, dh).transpose(0, 2, 1, 3)
             vh = v.reshape(b, seq, nh, cv // nh).transpose(0, 2, 1, 3)
             out = _flash_causal_attention(qh, kh, vh, sm_scale)
+            return out.transpose(0, 2, 1, 3).reshape(b, s0, s1, s2, cv)
+
+        if self.use_chunked == "always":
+            chunked_ok = True
+        elif self.use_chunked == "never":
+            chunked_ok = False
+        else:
+            chunked_ok = seq > _DENSE_MAX_SEQ
+        if chunked_ok:
+            from vqvae3d_tpu.ops.chunked_attention import causal_attention_chunked
+
+            rng = self.make_rng("dropout") if dropout_active else None
+            qh = q.reshape(b, seq, nh, dh).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, seq, nh, dh).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, seq, nh, cv // nh).transpose(0, 2, 1, 3)
+            out = causal_attention_chunked(
+                qh, kh, vh, sm_scale,
+                dropout_p=self.dropout_prob if dropout_active else 0.0,
+                dropout_rng=rng,
+            )
             return out.transpose(0, 2, 1, 3).reshape(b, s0, s1, s2, cv)
 
         kf = k.reshape(b, seq, nh, dh)
