@@ -136,3 +136,24 @@ def test_reference_vqvae_conversion_parity(reference_modules):
         torch_out.permute(0, 2, 3, 4, 1).numpy(),
         atol=2e-3,
     )
+
+
+def test_checkpoint_retention(tmp_path):
+    """max_to_keep prunes old step dirs (round-2: reference keeps
+    top-1 + last, vqvae/train.py:56; unbounded growth before)."""
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=2, num_embeddings=(8, 16), dtype=jnp.float32, remat=False
+    )
+    model = VQVAE(cfg)
+    state = create_vqvae_train_state(model, KEY, np.zeros((1, 32, 32, 16, 1)))
+    d = tmp_path / "ckpt"
+    for step in (1, 2, 3):
+        save_checkpoint(d, state, config=cfg, step=step, max_to_keep=2)
+    kept = sorted(p.name for p in d.glob("step_*") if p.is_dir())
+    assert kept == ["step_2", "step_3"]
+    assert not (d / "step_1_config.json").exists()
+    assert (d / "step_3_config.json").exists()
+    assert (d / "latest.txt").read_text() == "3"
+    # the latest checkpoint still restores
+    restored = restore_checkpoint(d, state)
+    assert int(restored.step) == int(state.step)

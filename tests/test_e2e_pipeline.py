@@ -54,39 +54,21 @@ def pipeline_dirs(ct_dir, tmp_path_factory):
     }
 
 
-def _patch_depth(monkeypatch):
-    """Small depth for tests: pad to 16 instead of 128."""
-    pass
-
-
 def test_stage1_train_vqvae(pipeline_dirs):
     from vqvae3d_tpu.cli import train_vqvae
 
     args = train_vqvae.parse_arguments(
-        [str(pipeline_dirs["ct"]), "--ckpt-dir", str(pipeline_dirs["vqvae_ckpt"])]
+        [str(pipeline_dirs["ct"]), "--ckpt-dir", str(pipeline_dirs["vqvae_ckpt"]),
+         "--output-depth", str(DEPTH_PAD)]
         + VQVAE_ARGS
     )
-    # shrink depth padding for speed (default 128)
-    import vqvae3d_tpu.data.ct_dataset as cd
-
-    orig = cd.CTDataModule.__init__
-
-    def patched(self, *a, **kw):
-        kw["output_depth"] = DEPTH_PAD
-        return orig(self, *a, **kw)
-
-    cd.CTDataModule.__init__ = patched
-    try:
-        state = train_vqvae.main(args)
-    finally:
-        cd.CTDataModule.__init__ = orig
+    state = train_vqvae.main(args)
     assert int(state.step) == 4
     assert (pipeline_dirs["vqvae_ckpt"] / "latest.txt").exists()
 
 
 def test_stage2_extract(pipeline_dirs):
     from vqvae3d_tpu.cli import extract_embeddings
-    import vqvae3d_tpu.data.ct_dataset as cd
 
     args = extract_embeddings.parse_arguments([
         "--checkpoint-path", str(pipeline_dirs["vqvae_ckpt"]),
@@ -96,18 +78,9 @@ def test_stage2_extract(pipeline_dirs):
         "--rescale-input", "0",
         "--scan-size", str(H), str(W),
         "--backend", "file",
+        "--output-depth", str(DEPTH_PAD),
     ])
-    orig = cd.CTDataModule.__init__
-
-    def patched(self, *a, **kw):
-        kw["output_depth"] = DEPTH_PAD
-        return orig(self, *a, **kw)
-
-    cd.CTDataModule.__init__ = patched
-    try:
-        extract_embeddings.main(args)
-    finally:
-        cd.CTDataModule.__init__ = orig
+    extract_embeddings.main(args)
 
     from vqvae3d_tpu.data.code_store import CodeStore
 
@@ -211,22 +184,12 @@ def test_stage5_decode(pipeline_dirs):
 
 def test_calc_ssim_cli(pipeline_dirs):
     from vqvae3d_tpu.cli import calc_ssim_from_checkpoint
-    import vqvae3d_tpu.data.ct_dataset as cd
 
     args = calc_ssim_from_checkpoint.parse_arguments([
         str(pipeline_dirs["vqvae_ckpt"]),
         str(pipeline_dirs["ct"]),
         "--scan-size", str(H), str(W),
+        "--output-depth", str(DEPTH_PAD),
     ])
-    orig = cd.CTDataModule.__init__
-
-    def patched(self, *a, **kw):
-        kw["output_depth"] = DEPTH_PAD
-        return orig(self, *a, **kw)
-
-    cd.CTDataModule.__init__ = patched
-    try:
-        out = calc_ssim_from_checkpoint.main(args)
-    finally:
-        cd.CTDataModule.__init__ = orig
+    out = calc_ssim_from_checkpoint.main(args)
     assert "train" in out and -1 <= out["train"]["ssim_mean"] <= 1

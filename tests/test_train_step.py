@@ -156,3 +156,73 @@ def test_make_hybrid_mesh_fallback():
     assert mesh.axis_names == ("data", "space")
     assert mesh.devices.size == 8
     assert is_primary()
+
+
+def test_mixture_nll_metric_trains():
+    """metric='mixture-nll' wires the discretized-logistic-mixture head
+    (round-2: the reference parsed --n-mix but never wired it)."""
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=2,
+        num_embeddings=(16, 32),
+        dtype=jnp.float32,
+        remat=False,
+        base_lr=1e-3,
+        metric="mixture-nll",
+        n_mix=3,
+    )
+    model = VQVAE(cfg)
+    assert cfg.head_channels == 9
+    batch = _batch()
+    state = create_vqvae_train_state(model, KEY, np.zeros((1, 32, 32, 16, 1)))
+    # decoder emits 3*n_mix channels
+    decoded, _ = model.apply(
+        {"params": state.params, "quantizer": state.quantizer},
+        batch["volume"], train=False,
+    )
+    assert decoded.shape[-1] == 9
+
+    train_step = make_train_step(model, donate=False)
+    losses = []
+    for _ in range(5):
+        state, log = train_step(state, batch)
+        losses.append(float(log["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # NLL decreases
+
+    eval_step = make_eval_step(model)
+    log = eval_step(state, batch)
+    assert np.isfinite(float(log["ssim"]))
+    assert np.isfinite(float(log["recon_loss_median"]))
+
+
+def test_mixture_nll_matches_reference_formula():
+    """mixture_nll_loss agrees with the torch MixtureSameFamily oracle
+    (reference metrics/distribution.py:22-50)."""
+    import torch
+    import torch.distributions as D
+
+    from vqvae3d_tpu.metrics.distribution import mixture_nll_loss
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 5)).astype(np.float32)
+    logits = rng.normal(size=(4, 5, 3)).astype(np.float32)
+    loc = rng.normal(size=(4, 5, 3)).astype(np.float32)
+    scale = rng.uniform(0.5, 2.0, size=(4, 5, 3)).astype(np.float32)
+
+    got = np.asarray(
+        mixture_nll_loss(
+            jnp.asarray(x), jnp.asarray(logits), jnp.asarray(loc),
+            jnp.asarray(scale), reduce_sum=False,
+        )
+    )
+
+    base = D.TransformedDistribution(
+        D.Uniform(torch.zeros_like(torch.tensor(loc)), 1.0),
+        [D.SigmoidTransform().inv,
+         D.AffineTransform(torch.tensor(loc), torch.tensor(scale))],
+    )
+    mix = D.MixtureSameFamily(
+        D.Categorical(logits=torch.tensor(logits)), base
+    )
+    want = -mix.log_prob(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -30,6 +30,7 @@ def parse_arguments(argv=None):
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--rescale-input", type=int, nargs="+", default=None)
     parser.add_argument("--scan-size", type=int, nargs=2, default=[512, 512])
+    parser.add_argument("--output-depth", type=int, default=128)
     return parser.parse_args(argv)
 
 
@@ -38,8 +39,9 @@ def main(args):
     dm = CTDataModule(
         str(args.dataset_path), batch_size=args.batch_size, rescale_input=rescale,
         size=(*args.scan_size, None),
+        output_depth=args.output_depth,
     )
-    shape = (args.batch_size, *(rescale or (*args.scan_size, 128)), 1)
+    shape = (args.batch_size, *(rescale or (*args.scan_size, args.output_depth)), 1)
     model, state, _ = load_vqvae(args.ckpt_path, shape)
     variables = {"params": state.params, "quantizer": state.quantizer}
 

@@ -33,6 +33,7 @@ def parse_arguments(argv=None):
                         help="pass a single 0 to disable rescaling")
     parser.add_argument("--backend", choices=["auto", "lmdb", "file"], default="auto")
     parser.add_argument("--scan-size", type=int, nargs=2, default=[512, 512])
+    parser.add_argument("--output-depth", type=int, default=128)
     return parser.parse_args(argv)
 
 
@@ -57,10 +58,11 @@ def main(args):
         num_workers=5,
         rescale_input=rescale,
         size=(*args.scan_size, None),
+        output_depth=args.output_depth,
     )
     assert dm.train_len > 0, "no compatible scans found"
 
-    sample_shape = (1, *(rescale or (*args.scan_size, 128)), 1)
+    sample_shape = (1, *(rescale or (*args.scan_size, args.output_depth)), 1)
     model, state, config = load_vqvae(args.checkpoint_path, sample_shape)
 
     @jax.jit

@@ -26,6 +26,7 @@ def parse_arguments(argv=None):
     parser.add_argument("--sample-index", type=int, default=0)
     parser.add_argument("--rescale-input", type=int, nargs="+", default=None)
     parser.add_argument("--scan-size", type=int, nargs=2, default=[512, 512])
+    parser.add_argument("--output-depth", type=int, default=128)
     return parser.parse_args(argv)
 
 
@@ -34,6 +35,7 @@ def main(args):
     dm = CTDataModule(
         str(args.dataset_path), batch_size=1, train_frac=1.0, rescale_input=rescale,
         size=(*args.scan_size, None),
+        output_depth=args.output_depth,
     )
     vol, _ = dm.dataset[args.sample_index]
     x = jnp.asarray(vol)[None]

@@ -567,11 +567,10 @@ class PreQuantizationConditioning(nn.Module):
 
     @nn.compact
     def __call__(self, x, aux=None):
-        has_aux = self.in_channels - self.out_channels * 8 != 0
-        assert has_aux == (aux is not None), (
-            "aux must be provided iff this level has a coarser neighbor"
-        )
-        if has_aux:
+        # ``aux`` (the coarser level's quantization) is None only for the
+        # deepest level; its presence is static at trace time, so the param
+        # structure is deterministic per level.
+        if aux is not None:
             up = UpBlock(
                 in_channels=self.out_channels * 2**self.n_up,
                 out_channels=self.out_channels,

@@ -58,7 +58,11 @@ class VQVAEConfig:
     commitment_cost: float = 0.1
     ema_decay: float = 0.99
     laplace_alpha: float = 1e-5
+    # recon loss: 'huber' (the reference's shipped loss, model.py:162) or
+    # 'mixture-nll' (discretized-logistic-mixture head; the reference parses
+    # --n-mix and imports the machinery but never wires it, model.py:244)
     metric: str = "huber"
+    n_mix: int = 2  # mixture components for metric='mixture-nll'
     base_lr: float = 1e-5
     extract_center_cylinder: bool = True
     dtype: Any = jnp.bfloat16
@@ -86,6 +90,7 @@ class VQVAEConfig:
     def __post_init__(self):
         assert self.block_type in RESBLOCKS
         assert self.encoder_variant in ("encoder2", "encoder")
+        assert self.metric in ("huber", "mixture-nll"), self.metric
         f = self.stem_space_to_depth
         assert f >= 1 and (f & (f - 1)) == 0, "stem factor must be a power of 2"
         assert 2 ** self.stem_log2 <= 2**self.n_blocks_per_bottleneck, (
@@ -104,6 +109,15 @@ class VQVAEConfig:
     @property
     def n_enc(self) -> int:
         return self.n_bottleneck_blocks
+
+    @property
+    def head_channels(self) -> int:
+        """Decoder out-conv channels: 3·n_mix per output channel for the
+        mixture head (component logits, locs, log-scales), else
+        output_channels."""
+        if self.metric == "mixture-nll":
+            return 3 * self.n_mix * self.output_channels
+        return self.output_channels
 
     @property
     def stem_log2(self) -> int:
@@ -348,7 +362,7 @@ class Decoder(nn.Module):
 
         f = cfg.stem_space_to_depth
         out = Conv3D(
-            features=cfg.output_channels * f**3,
+            features=cfg.head_channels * f**3,
             kernel_size=1,
             dtype=cfg.dtype,
             name="out",

@@ -115,23 +115,51 @@ def depth_to_space(x: jax.Array, factor: int) -> jax.Array:
     return x.reshape(b, h * f, w * f, d * f, c)
 
 
-def area_resize(x: jax.Array, size: Sequence[int]) -> jax.Array:
-    """Area-interpolation downscale for integer shrink factors.
+def _adaptive_avg_matrix(in_dim: int, out_dim: int) -> jnp.ndarray:
+    """(out_dim, in_dim) averaging matrix of torch adaptive_avg_pool bins.
 
-    Equivalent to torch ``F.interpolate(mode='area')`` when every input dim is
-    an integer multiple of the output dim (adaptive average pooling with
-    uniform bins). The reference pipeline only ever area-resizes 512→256 with
-    depth unchanged, which satisfies this.
+    Bin i covers [floor(i·in/out), ceil((i+1)·in/out)); adaptive average
+    pooling over a 3-D box separates into the product of these per-axis
+    means, so the whole resize becomes three small matmuls (MXU-friendly,
+    no gathers).
+    """
+    import numpy as np
+
+    m = np.zeros((out_dim, in_dim), np.float32)
+    for i in range(out_dim):
+        start = (i * in_dim) // out_dim
+        end = -(-((i + 1) * in_dim) // out_dim)  # ceil
+        m[i, start:end] = 1.0 / (end - start)
+    return jnp.asarray(m)
+
+
+def area_resize(x: jax.Array, size: Sequence[int]) -> jax.Array:
+    """Area-interpolation downscale, torch ``F.interpolate(mode='area')``.
+
+    Exact adaptive-average-pool semantics for arbitrary output sizes (the
+    reference accepted any size via torch Interpolate,
+    utils/load_nrrd_dataset.py:47); integer shrink factors take a fused
+    reshape-mean fast path.
     """
     n, d, h, w, c = x.shape
     td, th, tw = size
-    assert d % td == 0 and h % th == 0 and w % tw == 0, (
-        f"area_resize requires integer shrink factors, got {(d, h, w)} -> {size}"
-    )
-    fd, fh, fw = d // td, h // th, w // tw
-    if (fd, fh, fw) == (1, 1, 1):
-        return x
     orig_dtype = x.dtype
-    out = x.astype(jnp.float32).reshape(n, td, fd, th, fh, tw, fw, c)
-    out = out.mean(axis=(2, 4, 6))
+    if (td, th, tw) == (d, h, w):
+        return x
+    if d % td == 0 and h % th == 0 and w % tw == 0:
+        fd, fh, fw = d // td, h // th, w // tw
+        out = x.astype(jnp.float32).reshape(n, td, fd, th, fh, tw, fw, c)
+        out = out.mean(axis=(2, 4, 6))
+        return out.astype(orig_dtype)
+    out = x.astype(jnp.float32)
+    for axis, (in_dim, out_dim) in zip((1, 2, 3), ((d, td), (h, th), (w, tw))):
+        if in_dim == out_dim:
+            continue
+        assert in_dim >= out_dim, (
+            f"area_resize only downscales (axis {axis}: {in_dim} -> {out_dim})"
+        )
+        mat = _adaptive_avg_matrix(in_dim, out_dim)
+        out = jnp.moveaxis(
+            jnp.tensordot(mat, out, axes=(1, axis)), 0, axis
+        )
     return out.astype(orig_dtype)

@@ -7,8 +7,9 @@ ModelCheckpoint keeps top-1 + last (vqvae/train.py:56). TPU equivalents:
   * ``save_checkpoint`` / ``restore_checkpoint`` — Orbax save of the whole
     train-state pytree (params, optimizer, EMA codebooks) plus a JSON
     config snapshot so ``load_model`` can rebuild the model with no args.
-  * ``CheckpointManagerWrapper`` — best-k + last retention on a monitored
-    metric.
+    ``max_to_keep`` prunes older step dirs after each save, reproducing the
+    reference's top-1 + save_last retention (two dirs: the CLI's main
+    ckpt-dir holds the last checkpoint, its ``best/`` subdir the best one).
   * ``convert_reference_vqvae_state_dict`` — maps a torch VQVAE state_dict
     (NCDHW conv weights, fixup scalars, quantizer buffers) onto our
     channels-last variable tree, enabling SSIM-parity evaluation against
@@ -42,17 +43,46 @@ def _config_from_json(cls, text: str):
     return cls(**d)
 
 
-def save_checkpoint(path, state, config=None, step: Optional[int] = None) -> None:
-    """Save a train-state pytree (+ config JSON) to ``path``/step."""
+def save_checkpoint(
+    path,
+    state,
+    config=None,
+    step: Optional[int] = None,
+    max_to_keep: Optional[int] = None,
+) -> None:
+    """Save a train-state pytree (+ config JSON) to ``path``/step.
+
+    ``max_to_keep``: if set, prune all but the newest N ``step_*`` dirs after
+    a successful save (reference keeps top-1 + last, vqvae/train.py:56;
+    round-1 left this unbounded — every validation added a full new copy).
+    """
     path = Path(path).resolve()
     path.mkdir(parents=True, exist_ok=True)
     step = int(step if step is not None else getattr(state, "step", 0))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path / f"step_{step}", state)
+    ckptr.save(path / f"step_{step}", state, force=True)
     ckptr.wait_until_finished()
     if config is not None:
         (path / f"step_{step}_config.json").write_text(_config_to_json(config))
     (path / "latest.txt").write_text(str(step))
+    if max_to_keep is not None:
+        _prune_checkpoints(path, max_to_keep)
+
+
+def _prune_checkpoints(path: Path, keep: int) -> None:
+    """Delete all but the newest ``keep`` step_* checkpoint dirs under path."""
+    import shutil
+
+    steps = sorted(
+        int(p.name[len("step_"):])
+        for p in path.glob("step_*")
+        if p.is_dir() and p.name[len("step_"):].isdigit()
+    )
+    for s in steps[: max(0, len(steps) - keep)]:
+        shutil.rmtree(path / f"step_{s}", ignore_errors=True)
+        cfg = path / f"step_{s}_config.json"
+        if cfg.exists():
+            cfg.unlink()
 
 
 def latest_step(path) -> Optional[int]:

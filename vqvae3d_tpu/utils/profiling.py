@@ -54,5 +54,10 @@ class StepTimer:
 
     @property
     def mean_ms(self) -> float:
+        """Warmup-excluded running mean; falls back to the last measured
+        step before enough post-warmup samples exist (avoids logging NaN
+        on the first line)."""
         n = self.count - self.skip_first
-        return (self.total / n * 1e3) if n > 0 else float("nan")
+        if n > 0:
+            return self.total / n * 1e3
+        return self.last_ms
