@@ -99,8 +99,15 @@ def main(args):
     mesh = make_data_mesh(args.batch_size)
     print(f"mesh: {mesh}; model: {args.use_model}; "
           f"input_dim={input_dim} condition_dim={config.condition_dim}")
+    proc_kw = dict(
+        process_index=jax.process_index(), process_count=jax.process_count()
+    )
+    assert args.batch_size % jax.process_count() == 0, (
+        "global batch size must divide evenly over processes"
+    )
+    primary = jax.process_index() == 0
 
-    sample = next(iter(dm.train_dataloader()))
+    sample = next(iter(dm.train_dataloader(**proc_kw)))
     if not use_cond:
         sample.pop("condition", None)
     state = create_prior_train_state(model, jax.random.PRNGKey(args.seed), sample)
@@ -128,7 +135,9 @@ def main(args):
 
     with mesh:
         while step < args.max_steps:
-            for batch in device_prefetch(dm.train_dataloader(epoch=epoch)):
+            for batch in device_prefetch(
+                dm.train_dataloader(epoch=epoch, **proc_kw), mesh=mesh
+            ):
                 with timer:
                     state, log = train_step(state, clean(batch), rng)
                 step = int(state.step)
@@ -136,32 +145,37 @@ def main(args):
                     jax.profiler.start_trace(args.profile_dir)
                 if args.profile_dir and step == 15:
                     jax.profiler.stop_trace()
-                if step % args.log_every_n_steps == 0:
+                if primary and step % args.log_every_n_steps == 0:
                     flat = logger.log(step, log, prefix="train")
                     flat["step_ms"] = timer.mean_ms
                     logger.print(step, flat)
                 if step % val_every == 0 or step >= args.max_steps:
                     val_logs = [
-                        eval_step(state, clean(vb)) for vb in dm.val_dataloader()
+                        eval_step(state, clean(vb))
+                        for vb in device_prefetch(
+                            dm.val_dataloader(**proc_kw), mesh=mesh
+                        )
                     ]
                     if val_logs:
                         mean_log = {
                             k: np.mean([float(v[k]) for v in val_logs])
                             for k in val_logs[0]
                         }
-                        flat = logger.log(step, mean_log, prefix="val")
-                        logger.print(step, flat)
-                        save_checkpoint(ckpt_dir, state, config=config)
+                        if primary:
+                            flat = logger.log(step, mean_log, prefix="val")
+                            logger.print(step, flat)
+                        save_checkpoint(ckpt_dir, state, config=config, max_to_keep=1)
                         if mean_log["loss_mean"] < best_val:
                             best_val = mean_log["loss_mean"]
                             save_checkpoint(
-                                Path(ckpt_dir) / "best", state, config=config
+                                Path(ckpt_dir) / "best", state,
+                                config=config, max_to_keep=1,
                             )
                 if step >= args.max_steps:
                     break
             epoch += 1
 
-    save_checkpoint(ckpt_dir, state, config=config)
+    save_checkpoint(ckpt_dir, state, config=config, max_to_keep=1)
     print(f"done at step {step}; best val_loss_mean={best_val:.5g}")
     return state
 

@@ -58,6 +58,10 @@ def parse_arguments(argv=None):
                         help="coordinator address host:port for --multihost")
     parser.add_argument("--scan-size", type=int, nargs=2, default=[512, 512],
                         help="expected (H, W) of input scans; others are dropped")
+    parser.add_argument("--output-depth", type=int, default=128,
+                        help="depth volumes are zero-padded/truncated to "
+                             "(reference DepthPadAndCrop(128), "
+                             "load_nrrd_dataset.py:27-44)")
     return parser.parse_args(argv)
 
 
@@ -78,9 +82,20 @@ def main(args):
         rescale_input=tuple(args.rescale_input) if args.rescale_input else None,
         seed=args.seed,
         size=(*args.scan_size, None),
+        output_depth=args.output_depth,
     )
     print(f"dataset: {dm.train_len} train / {dm.val_len} val scans")
     assert dm.train_len >= args.batch_size, "not enough scans for one batch"
+    # multi-process: each process decodes 1/process_count of every global
+    # batch; shard_batch reassembles the logical global array (the per-rank
+    # DistributedSampler + DDP of reference vqvae/train.py:27)
+    proc_kw = dict(
+        process_index=jax.process_index(), process_count=jax.process_count()
+    )
+    assert args.batch_size % jax.process_count() == 0, (
+        "global batch size must divide evenly over processes"
+    )
+    primary = jax.process_index() == 0
 
     if args.mesh_shape and len(args.mesh_shape) == 2:
         mesh = make_mesh(tuple(args.mesh_shape), ("data", "space"))
@@ -88,7 +103,7 @@ def main(args):
         mesh = make_data_mesh(args.batch_size)
     print(f"mesh: {mesh}")
 
-    sample = next(iter(dm.train_dataloader()))
+    sample = next(iter(dm.train_dataloader(**proc_kw)))
     state = create_vqvae_train_state(
         model, jax.random.PRNGKey(args.seed), jnp.zeros_like(sample["volume"])
     )
@@ -108,7 +123,9 @@ def main(args):
 
     with mesh:
         while step < args.max_steps:
-            for batch in device_prefetch(dm.train_dataloader(epoch=epoch)):
+            for batch in device_prefetch(
+                dm.train_dataloader(epoch=epoch, **proc_kw), mesh=mesh
+            ):
                 with timer:
                     state, log = train_step(state, batch)
                 step = int(state.step)
@@ -116,31 +133,38 @@ def main(args):
                     jax.profiler.start_trace(args.profile_dir)
                 if args.profile_dir and step == 15:
                     jax.profiler.stop_trace()
-                if step % args.log_every_n_steps == 0:
+                if primary and step % args.log_every_n_steps == 0:
                     flat = logger.log(step, log, prefix="train")
                     flat["step_ms"] = timer.mean_ms
                     logger.print(step, flat)
 
                 if step % val_every == 0 or step >= args.max_steps:
-                    val_logs = [eval_step(state, vb) for vb in dm.val_dataloader()]
+                    val_logs = [
+                        eval_step(state, vb)
+                        for vb in device_prefetch(
+                            dm.val_dataloader(**proc_kw), mesh=mesh
+                        )
+                    ]
                     if val_logs:
                         mean_log = {
                             k: np.mean([float(v[k]) for v in val_logs])
                             for k in val_logs[0]
                         }
-                        flat = logger.log(step, mean_log, prefix="val")
-                        logger.print(step, flat)
-                        save_checkpoint(args.ckpt_dir, state, config=config)
+                        if primary:
+                            flat = logger.log(step, mean_log, prefix="val")
+                            logger.print(step, flat)
+                        save_checkpoint(args.ckpt_dir, state, config=config, max_to_keep=1)
                         if mean_log["recon_loss_mean"] < best_val:
                             best_val = mean_log["recon_loss_mean"]
                             save_checkpoint(
-                                Path(args.ckpt_dir) / "best", state, config=config
+                                Path(args.ckpt_dir) / "best", state,
+                                config=config, max_to_keep=1,
                             )
                 if step >= args.max_steps:
                     break
             epoch += 1
 
-    save_checkpoint(args.ckpt_dir, state, config=config)
+    save_checkpoint(args.ckpt_dir, state, config=config, max_to_keep=1)
     print(f"done at step {step}; best val_recon_loss_mean={best_val:.5g}")
     return state
 

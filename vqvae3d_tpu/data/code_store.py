@@ -202,11 +202,24 @@ class CodeDataModule:
         self.val_indices = perm[train_len:]
         self.seed = seed
 
-    def _iter(self, indices, shuffle: bool, epoch: int = 0):
+    def _iter(
+        self,
+        indices,
+        shuffle: bool,
+        epoch: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        """Iterate global batches; under multi-process each process decodes
+        its contiguous slice (see CTDataModule._iter — same per-rank
+        sampler semantics; shuffle keyed on (seed, epoch) only)."""
         idx = np.array(indices)
         if shuffle:
             idx = np.random.default_rng(self.seed + 1 + epoch).permutation(idx)
         bs = self.batch_size
+        assert bs % process_count == 0, (bs, process_count)
+        bs_local = bs // process_count
+        lo = process_index * bs_local
 
         def _degrid(arr):
             # stored grids may carry the extraction batch-1 dim (the
@@ -217,7 +230,8 @@ class CodeDataModule:
             return arr
 
         for b in range(len(idx) // bs):
-            items = [self.dataset[int(i)] for i in idx[b * bs : (b + 1) * bs]]
+            rows = idx[b * bs + lo : b * bs + lo + bs_local]
+            items = [self.dataset[int(i)] for i in rows]
             data = np.stack([_degrid(it[0]) for it in items]).astype(np.int32)
             batch = {"data": data}
             if len(items[0]) > 1:
@@ -226,8 +240,21 @@ class CodeDataModule:
                 ).astype(np.int32)
             yield batch
 
-    def train_dataloader(self, epoch: int = 0):
-        return self._iter(self.train_indices, shuffle=True, epoch=epoch)
+    def train_dataloader(
+        self, epoch: int = 0, process_index: int = 0, process_count: int = 1
+    ):
+        return self._iter(
+            self.train_indices,
+            shuffle=True,
+            epoch=epoch,
+            process_index=process_index,
+            process_count=process_count,
+        )
 
-    def val_dataloader(self):
-        return self._iter(self.val_indices, shuffle=False)
+    def val_dataloader(self, process_index: int = 0, process_count: int = 1):
+        return self._iter(
+            self.val_indices,
+            shuffle=False,
+            process_index=process_index,
+            process_count=process_count,
+        )

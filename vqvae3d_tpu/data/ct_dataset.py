@@ -94,15 +94,39 @@ def _header_spacing(header) -> Optional[np.ndarray]:
     return None
 
 
+def _adaptive_avg_matrix_np(in_dim: int, out_dim: int) -> np.ndarray:
+    """(out_dim, in_dim) torch-adaptive-avg-pool bin-averaging matrix."""
+    m = np.zeros((out_dim, in_dim), np.float32)
+    for i in range(out_dim):
+        start = (i * in_dim) // out_dim
+        end = -(-((i + 1) * in_dim) // out_dim)
+        m[i, start:end] = 1.0 / (end - start)
+    return m
+
+
 def _area_rescale_np(vol: np.ndarray, size: Sequence[int]) -> np.ndarray:
-    """Integer-factor area downscale on the host (numpy)."""
+    """Host-side area downscale, torch F.interpolate(mode='area') semantics.
+
+    Integer shrink factors take the fused reshape-mean path; arbitrary sizes
+    fall back to separable adaptive-average-pool matmuls (the reference's
+    Interpolate accepted any size, utils/load_nrrd_dataset.py:47)."""
     h, w, d = vol.shape
     th, tw, td = size
-    assert h % th == 0 and w % tw == 0 and d % td == 0, (vol.shape, size)
-    fh, fw, fd = h // th, w // tw, d // td
-    return (
-        vol.reshape(th, fh, tw, fw, td, fd).mean(axis=(1, 3, 5)).astype(vol.dtype)
-    )
+    if (th, tw, td) == (h, w, d):
+        return vol
+    if h % th == 0 and w % tw == 0 and d % td == 0:
+        fh, fw, fd = h // th, w // tw, d // td
+        return (
+            vol.reshape(th, fh, tw, fw, td, fd).mean(axis=(1, 3, 5)).astype(vol.dtype)
+        )
+    out = vol.astype(np.float32)
+    for axis, (in_dim, out_dim) in enumerate(((h, th), (w, tw), (d, td))):
+        if in_dim == out_dim:
+            continue
+        assert in_dim >= out_dim, f"area rescale only downscales ({in_dim}->{out_dim})"
+        mat = _adaptive_avg_matrix_np(in_dim, out_dim)
+        out = np.moveaxis(np.tensordot(mat, out, axes=(1, axis)), 0, axis)
+    return out.astype(vol.dtype)
 
 
 class CTDataModule:
@@ -140,18 +164,35 @@ class CTDataModule:
         self.train_indices = perm[:train_len]
         self.val_indices = perm[train_len:]
 
-    def _iter(self, indices, shuffle: bool, epoch: int = 0) -> Iterator[dict]:
+    def _iter(
+        self,
+        indices,
+        shuffle: bool,
+        epoch: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+    ) -> Iterator[dict]:
+        """Iterate global batches; under multi-process each process decodes
+        only its contiguous slice of every global batch (the TPU-native form
+        of Lightning DDP's per-rank DistributedSampler, reference
+        vqvae/train.py:27). The shuffle is keyed on (seed, epoch) only, so
+        all processes agree on the permutation and the union of the
+        per-process slices is exactly the global batch."""
         idx = np.array(indices)
         if shuffle:
             rng = np.random.default_rng(self.seed + 1 + epoch)
             idx = rng.permutation(idx)
         bs = self.batch_size
+        assert bs % process_count == 0, (bs, process_count)
+        bs_local = bs // process_count
+        lo = process_index * bs_local
         n_batches = len(idx) // bs  # drop_last
         if n_batches == 0:
             return
 
         def load_batch(b):
-            samples = [self.dataset[int(i)] for i in idx[b * bs : (b + 1) * bs]]
+            rows = idx[b * bs + lo : b * bs + lo + bs_local]
+            samples = [self.dataset[int(i)] for i in rows]
             vols = np.stack([s[0] for s in samples])
             nvs = np.array([s[1] for s in samples], np.int32)
             return {"volume": vols, "num_valid_slices": nvs}
@@ -168,11 +209,26 @@ class CTDataModule:
                     futures.put(pool.submit(load_batch, nxt))
                 yield batch
 
-    def train_dataloader(self, epoch: int = 0) -> Iterator[dict]:
-        return self._iter(self.train_indices, shuffle=True, epoch=epoch)
+    def train_dataloader(
+        self, epoch: int = 0, process_index: int = 0, process_count: int = 1
+    ) -> Iterator[dict]:
+        return self._iter(
+            self.train_indices,
+            shuffle=True,
+            epoch=epoch,
+            process_index=process_index,
+            process_count=process_count,
+        )
 
-    def val_dataloader(self) -> Iterator[dict]:
-        return self._iter(self.val_indices, shuffle=False)
+    def val_dataloader(
+        self, process_index: int = 0, process_count: int = 1
+    ) -> Iterator[dict]:
+        return self._iter(
+            self.val_indices,
+            shuffle=False,
+            process_index=process_index,
+            process_count=process_count,
+        )
 
     @property
     def train_len(self) -> int:
