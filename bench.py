@@ -27,6 +27,40 @@ sys.path.insert(0, REPO)
 VOL = (512, 512, 128)
 BASELINE_VOL_PER_SEC = 1.0  # <1 s/volume target on v5e
 
+# bf16 peak FLOP/s per chip by device kind (public spec sheets)
+_PEAK_BF16 = {
+    "TPU v2": 45e12,
+    "TPU v3": 123e12,
+    "TPU v4": 275e12,
+    "TPU v4 lite": 138e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+    "TPU7x": 2307e12,
+}
+
+
+def _peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_BF16.items():
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return None
+
+
+def _compiled_flops(compiled) -> float | None:
+    """Total FLOPs of a compiled executable via XLA cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
 
 def main():
     from vqvae3d_tpu.models.vqvae import VQVAE, VQVAEConfig
@@ -62,9 +96,12 @@ def main():
 
     # compile + warmup
     t0 = time.perf_counter()
-    out = forward(variables, x)
+    lowered = forward.lower(variables, x)
+    compiled = lowered.compile()
+    out = compiled(variables, x)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
+    total_flops = _compiled_flops(compiled)
 
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.perf_counter()
@@ -74,6 +111,24 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     vols_per_sec = batch / dt
+    extra = {
+        "sec_per_volume": round(dt / batch, 4),
+        "batch": batch,
+        "compile_sec": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "full_blocks": full_blocks,
+    }
+    # FLOPs substantiation (VERDICT r1: report compiled-FLOPs + MFU so the
+    # throughput number is checkable against chip peak)
+    peak = _peak_flops()
+    if total_flops:
+        flops_per_volume = total_flops / batch
+        achieved = total_flops / dt
+        extra["flops_per_volume"] = round(flops_per_volume / 1e9, 2)  # GFLOP
+        extra["achieved_tflops"] = round(achieved / 1e12, 2)
+        if peak:
+            extra["mfu"] = round(achieved / peak, 4)
+            extra["device_kind"] = jax.devices()[0].device_kind
     print(
         json.dumps(
             {
@@ -81,13 +136,7 @@ def main():
                 "value": round(vols_per_sec, 4),
                 "unit": "volumes/sec",
                 "vs_baseline": round(vols_per_sec / BASELINE_VOL_PER_SEC, 4),
-                "extra": {
-                    "sec_per_volume": round(dt / batch, 4),
-                    "batch": batch,
-                    "compile_sec": round(compile_s, 1),
-                    "backend": jax.default_backend(),
-                    "full_blocks": full_blocks,
-                },
+                "extra": extra,
             }
         )
     )
