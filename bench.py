@@ -63,7 +63,10 @@ def _compiled_flops(compiled) -> float | None:
 
 
 def main():
+    from vqvae3d_tpu.cli.common import enable_compilation_cache
     from vqvae3d_tpu.models.vqvae import VQVAE, VQVAEConfig
+
+    enable_compilation_cache()
 
     full_blocks = os.environ.get("BENCH_FULL_BLOCKS", "1") == "1"
     cfg = VQVAEConfig(

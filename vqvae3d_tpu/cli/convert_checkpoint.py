@@ -78,6 +78,9 @@ def _vqvae_config_from_hparams(hparams):
 
 
 def main(args):
+    from vqvae3d_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     sd, hparams = load_torch_state_dict(args.ckpt_path)
 
     if args.kind == "vqvae":

@@ -57,6 +57,9 @@ def decode_samples(model, variables, sample_db, n_levels=2):
 
 
 def main(args):
+    from vqvae3d_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     vol_shape = tuple(args.volume_shape)
     args.out_path.parent.mkdir(parents=True, exist_ok=True)
     model, state, config = load_vqvae(args.ckpt_path, (1, *vol_shape, 1))

@@ -48,6 +48,9 @@ def load_vqvae(checkpoint_path, sample_shape):
 
 
 def main(args):
+    from vqvae3d_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     rescale = tuple(args.rescale_input) if args.rescale_input else None
     if rescale is not None and 0 in rescale:
         rescale = None

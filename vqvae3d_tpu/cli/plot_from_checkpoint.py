@@ -31,6 +31,9 @@ def parse_arguments(argv=None):
 
 
 def main(args):
+    from vqvae3d_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     rescale = tuple(args.rescale_input) if args.rescale_input else None
     dm = CTDataModule(
         str(args.dataset_path), batch_size=1, train_frac=1.0, rescale_input=rescale,

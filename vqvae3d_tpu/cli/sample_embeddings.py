@@ -69,6 +69,9 @@ def load_prior(checkpoint_path, use_model, sample_batch):
 
 
 def main(args):
+    from vqvae3d_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     dims = tuple(args.size)
     db = create_or_load_db(args.db_path, args.level)
 

@@ -66,6 +66,9 @@ def parse_arguments(argv=None):
 
 
 def main(args):
+    from vqvae3d_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     if getattr(args, "multihost", False):
         from vqvae3d_tpu.parallel.multihost import initialize_multihost
 
