@@ -61,8 +61,11 @@ def bench_train(res: int, steps: int = 3):
         depth = 128
 
     model = VQVAE(cfg)
+    # init volume: smallest size divisible by stem × 4^levels on every axis
+    # (conv params are shape-agnostic; only the init trace needs validity)
+    f = cfg.stem_space_to_depth * 4**cfg.n_bottleneck_blocks
     state = create_vqvae_train_state(
-        model, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 32, 1), jnp.bfloat16)
+        model, jax.random.PRNGKey(0), jnp.zeros((1, f, f, f, 1), jnp.bfloat16)
     )
     train_step = make_train_step(model, donate=False)
     rng = np.random.default_rng(0)

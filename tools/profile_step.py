@@ -118,8 +118,9 @@ def main():
         "volume": jnp.asarray(rng.uniform(-0.5, 4.0, shape), jnp.bfloat16),
         "num_valid_slices": jnp.full((args.batch,), args.depth, jnp.int32),
     }
+    f = cfg.stem_space_to_depth * 4**cfg.n_bottleneck_blocks
     state = create_vqvae_train_state(
-        model, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 32, 1), jnp.bfloat16)
+        model, jax.random.PRNGKey(0), jnp.zeros((1, f, f, f, 1), jnp.bfloat16)
     )
     # re-init on the real shape is unnecessary: conv params are shape-agnostic
     if args.eval:
