@@ -183,7 +183,7 @@ def test_mixture_nll_metric_trains():
 
     train_step = make_train_step(model, donate=False)
     losses = []
-    for _ in range(5):
+    for _ in range(3):
         state, log = train_step(state, batch)
         losses.append(float(log["loss"]))
     assert np.isfinite(losses).all()
