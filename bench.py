@@ -69,6 +69,10 @@ def main():
     enable_compilation_cache()
 
     full_blocks = os.environ.get("BENCH_FULL_BLOCKS", "1") == "1"
+    # stem: 2 = the TPU-native space-to-depth stem (identical code grids,
+    # embedding dims and codebooks to the reference; no full-res tensor
+    # below 8 channels — see PERF.md). BENCH_STEM=1 for the literal stem.
+    stem = int(os.environ.get("BENCH_STEM", "2"))
     cfg = VQVAEConfig(
         n_bottleneck_blocks=3,
         num_embeddings=(128, 256, 512),
@@ -78,40 +82,62 @@ def main():
         n_post_downscale_blocks=2 if full_blocks else 1,
         dtype=jnp.bfloat16,
         remat=False,  # eval: no backward, no remat needed
+        stem_space_to_depth=stem,
+        base_network_channels=4 * stem,
     )
     model = VQVAE(cfg)
 
     rng = jax.random.PRNGKey(0)
-    # init is shape-agnostic for conv params — init on a small volume
+    # init is shape-agnostic for conv params — init on the smallest volume
+    # divisible by stem x 4^levels on every axis
+    f = cfg.stem_space_to_depth * 4**cfg.n_bottleneck_blocks
     variables = jax.jit(model.init, static_argnames=("train",))(
-        rng, jnp.zeros((1, 64, 64, 64, 1), jnp.bfloat16), train=False
+        rng, jnp.zeros((1, f, f, f, 1), jnp.bfloat16), train=False
     )
 
+    # TIMING METHODOLOGY (round-2 correction): on the tunneled backend,
+    # block_until_ready is NOT a reliable execution barrier — async
+    # dispatch made round-1's loop report up to ~470x the real throughput
+    # (a physically impossible >2x chip peak). Honest protocol: chain each
+    # iteration's input on the previous iteration's OUTPUT (executions
+    # must serialize on-device) and end with a 4-byte scalar host readback
+    # (forces true completion); per-exec time is the slope between two
+    # chain lengths, cancelling the constant sync/RTT overhead.
     @jax.jit
-    def forward(variables, x):
+    def fwd_chain(variables, x, x0):
         decoded, (losses, _, indices) = model.apply(variables, x, train=False)
-        return decoded, indices
+        return x0 + 0.0 * decoded
+
+    @jax.jit
+    def to_scalar(x):
+        return jnp.sum(x.astype(jnp.float32))
 
     batch = int(os.environ.get("BENCH_BATCH", "4"))
-    x = jnp.asarray(
+    x0 = jnp.asarray(
         np.random.default_rng(0).uniform(-0.5, 4.0, (batch, *VOL, 1)), jnp.bfloat16
     )
 
-    # compile + warmup
+    # compile + warmup (incl. the scalar-fetch path)
     t0 = time.perf_counter()
-    lowered = forward.lower(variables, x)
+    lowered = fwd_chain.lower(variables, x0, x0)
     compiled = lowered.compile()
-    out = compiled(variables, x)
-    jax.block_until_ready(out)
+    float(to_scalar(fwd_chain(variables, x0, x0)))
     compile_s = time.perf_counter() - t0
     total_flops = _compiled_flops(compiled)
 
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    def timed_chain(n):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = fwd_chain(variables, x, x0)
+        float(to_scalar(x))  # scalar host readback = true completion
+        return time.perf_counter() - t0
+
+    n_lo = int(os.environ.get("BENCH_ITERS", "2"))
+    n_hi = 3 * n_lo
+    t_lo = timed_chain(n_lo)
+    t_hi = timed_chain(n_hi)
+    dt = max((t_hi - t_lo) / (n_hi - n_lo), 1e-6)  # per-exec; sync cancelled
 
     vols_per_sec = batch / dt
     extra = {
@@ -120,6 +146,7 @@ def main():
         "compile_sec": round(compile_s, 1),
         "backend": jax.default_backend(),
         "full_blocks": full_blocks,
+        "timing": "chained-exec slope + scalar readback (async-safe)",
     }
     # FLOPs substantiation (VERDICT r1: report compiled-FLOPs + MFU so the
     # throughput number is checkable against chip peak)

@@ -137,16 +137,33 @@ def main():
     jax.block_until_ready(out)
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s", flush=True)
 
-    for _ in range(2):  # warmup
-        out = run(state, batch)
-    jax.block_until_ready(out)
+    # honest step time (see bench.py): chain state through steps, scalar
+    # host readback for true completion, slope cancels sync overhead
+    if args.eval:
+        # no state to chain: distinct inputs (defeats any dedup) and a
+        # per-iteration scalar readback; the slope cancels the RTT cost
+        def timed(n):
+            t0 = time.perf_counter()
+            for i in range(n):
+                b = dict(batch)
+                b["volume"] = batch["volume"] + jnp.bfloat16(i * 1e-6)
+                log = step_fn(state, b)
+                float(log["loss"])
+            return time.perf_counter() - t0
+    else:
+        def timed(n):
+            s = state
+            t0 = time.perf_counter()
+            for _ in range(n):
+                s, log = train_step(s, batch)
+            float(log["loss"])
+            return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out = run(state, batch)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / args.steps
-    print(f"step time: {dt*1e3:.1f} ms", flush=True)
+    timed(1)
+    t_lo = timed(args.steps)
+    t_hi = timed(3 * args.steps)
+    dt = max((t_hi - t_lo) / (2 * args.steps), 1e-6)
+    print(f"step time: {dt*1e3:.1f} ms (chained+readback slope)", flush=True)
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="jaxtrace_")
     jax.profiler.start_trace(trace_dir)
