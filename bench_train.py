@@ -29,6 +29,9 @@ from bench import _compiled_flops, _peak_flops  # noqa: E402
 
 
 def bench_train(res: int, steps: int = 3):
+    from vqvae3d_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     from vqvae3d_tpu.models.vqvae import VQVAE, VQVAEConfig
     from vqvae3d_tpu.train.state import create_vqvae_train_state
     from vqvae3d_tpu.train.vqvae_train import make_train_step

@@ -94,6 +94,9 @@ def analyze_xplane(trace_dir: str, top: int = 40):
 
 def main():
     args = parse_args()
+    from vqvae3d_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     from vqvae3d_tpu.models.vqvae import VQVAE, VQVAEConfig
     from vqvae3d_tpu.train.state import create_vqvae_train_state
     from vqvae3d_tpu.train.vqvae_train import make_eval_step, make_train_step

@@ -28,9 +28,16 @@ from flax import linen as nn
 
 from vqvae3d_tpu.ops.conv3d import (
     Conv3D,
+    conv3d,
     fixup_branch_init,
     kaiming_normal_init,
     xavier_normal_init,
+)
+from vqvae3d_tpu.ops.packed_blocks import (
+    pack,
+    packed_stack_ok,
+    preact_fixup_same_packed,
+    unpack,
 )
 from vqvae3d_tpu.ops.resize import trilinear_upsample2x
 
@@ -39,6 +46,73 @@ Dtype = Any
 
 def _scalar(module: nn.Module, name: str, value: float = 0.0):
     return module.param(name, nn.initializers.constant(value), (1,))
+
+
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel parameter holder.
+
+    Used by the packed resblock path to create a parameter at the exact same
+    tree path ('<name>/kernel') and shape as the Conv3D module the NDHWC path
+    instantiates — checkpoints and converters are layout-agnostic.
+    """
+
+    shape: Any
+    init: Callable
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", self.init, self.shape)
+
+
+class PreActParams(nn.Module):
+    """Parameter-only twin of a 'same'-mode PreActFixupResBlock.
+
+    Creates the exact same parameter tree (7 scalar biases + scale +
+    branch_conv{1,2,3}/kernel) and returns the values, so stacks of
+    structurally identical blocks can be stacked leaf-wise and run under ONE
+    ``lax.scan`` body instead of N inlined block traces (compile time and
+    per-op overhead scale O(1) in stack depth instead of O(N)).
+    """
+
+    channels: int
+    num_layers: int = 1
+    bottleneck_divisor: int = 2
+
+    @nn.compact
+    def __call__(self):
+        c = self.channels
+        cb = max(c // self.bottleneck_divisor, 1)
+        scalars = tuple(
+            _scalar(self, f"bias{n}")
+            for n in ("1a", "1b", "2a", "2b", "3a", "3b", "4")
+        ) + (self.param("scale", nn.initializers.ones_init(), (1,)),)
+        w1 = _ConvKernel(
+            (1, 1, 1, c, cb),
+            fixup_branch_init(self.num_layers),
+            name="branch_conv1",
+        )()
+        w2 = _ConvKernel(
+            (3, 3, 3, cb, cb), kaiming_normal_init(), name="branch_conv2"
+        )()
+        w3 = _ConvKernel(
+            (1, 1, 1, cb, c), nn.initializers.zeros_init(), name="branch_conv3"
+        )()
+        return w1, w2, w3, scalars
+
+
+def preact_fixup_same_ndhwc(x, w1, w2, w3, scalars, *, pad_mode: str):
+    """Functional 'same'-mode PreActFixupResBlock on NDHWC activations —
+    the exact math of the module below, with explicit weights (scan body)."""
+    dt = x.dtype
+    b1a, b1b, b2a, b2b, b3a, b3b, b4, scale = (s.astype(dt) for s in scalars)
+    act = jax.nn.elu
+    out = act(x + b1a) + b1b
+    out = conv3d(out, w1)
+    out = act(out + b2a) + b2b
+    out = conv3d(out, w2, padding=[(1, 1)] * 3, pad_mode=pad_mode)
+    out = act(out + b3a) + b3b
+    out = conv3d(out, w3)
+    return out * scale + b4 + x
 
 
 class ResizeConv3D(nn.Module):
@@ -169,10 +243,51 @@ class PreActFixupResBlock(nn.Module):
     # 'zeros' avoids materializing the wrapped tensor (XLA assigns small-C
     # pads catastrophic 128-lane layouts at 512-res under autodiff)
     dtype: Optional[Dtype] = None
+    # W of the packed (B, C, D, H*W) input when called on a channel-packed
+    # activation (ops/packed_blocks.py) — 'same' mode, identity skip only.
+    packed_width: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
         assert self.mode in ("down", "same", "up", "out")
+        if x.ndim == 4:
+            # Packed (B, C, D, H*W) path: same math, no 128-lane channel
+            # padding anywhere (see ops/packed_blocks.py). Parameter tree is
+            # identical to the NDHWC path below.
+            assert self.mode == "same" and self.packed_width is not None
+            c = x.shape[1]
+            assert c == self.out_channels, (c, self.out_channels)
+            branch_channels = max(c // self.bottleneck_divisor, 1)
+            scalars = [
+                _scalar(self, f"bias{n}")
+                for n in ("1a", "1b", "2a", "2b", "3a", "3b", "4")
+            ] + [self.param("scale", nn.initializers.ones_init(), (1,))]
+            w1 = _ConvKernel(
+                (1, 1, 1, c, branch_channels),
+                fixup_branch_init(self.num_layers),
+                name="branch_conv1",
+            )()
+            w2 = _ConvKernel(
+                (3, 3, 3, branch_channels, branch_channels),
+                kaiming_normal_init(),
+                name="branch_conv2",
+            )()
+            w3 = _ConvKernel(
+                (1, 1, 1, branch_channels, self.out_channels),
+                nn.initializers.zeros_init(),
+                name="branch_conv3",
+            )()
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            return preact_fixup_same_packed(
+                x,
+                w1,
+                w2,
+                w3,
+                scalars,
+                width=self.packed_width,
+                pad_mode=self.pad_mode,
+            )
         in_channels = x.shape[-1]
         branch_channels = max(
             max(in_channels, self.out_channels) // self.bottleneck_divisor, 1
@@ -459,6 +574,91 @@ RESBLOCKS = {
 }
 
 
+def apply_same_stack(
+    x,
+    n_blocks: int,
+    make_block,
+    make_params=None,
+    *,
+    enabled: bool = True,
+    remat: bool = False,
+    pad_mode: str = "wrap",
+    dtype: Optional[Dtype] = None,
+):
+    """Run ``n_blocks`` shape-preserving 'same' resblocks over x (NDHWC).
+
+    Two orthogonal TPU optimizations, both leaving the parameter tree
+    byte-identical to the naive module loop:
+
+      * **channel packing** (ops/packed_blocks.py): when
+        ``packed_stack_ok`` says the stack's tiny channel count would pay
+        XLA's 128-lane padding tax, the whole stack runs on (B, C, D, H·W)
+        activations — pack/unpack once per stack.
+      * **scan**: when ``make_params`` is given (pre-activation blocks), the
+        N structurally-identical blocks run as ONE ``lax.scan`` body over
+        leaf-stacked per-block parameters — compile time and op count are
+        O(1) instead of O(N) in stack depth. ``remat=True`` checkpoints each
+        iteration (the analog of wrapping each block in nn.remat).
+
+    ``make_block(j, packed_width)`` returns the j-th block module (fallback
+    path, used for non-pre-activation block types); ``make_params(j)``
+    returns the j-th block's (w1, w2, w3, scalars) via ``PreActParams``.
+    """
+    if n_blocks == 0:
+        return x
+    use_packed = (
+        enabled
+        and x.ndim == 5
+        and packed_stack_ok(x.shape[-1], tuple(x.shape[1:4]), n_blocks)
+    )
+
+    if make_params is not None:
+        per_block = [make_params(j) for j in range(n_blocks)]
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *per_block
+        )
+        if dtype is not None:
+            x = x.astype(dtype)
+        if use_packed:
+            hw = (x.shape[2], x.shape[3])
+            x = pack(x)
+
+            def body(h, p):
+                w1, w2, w3, scalars = p
+                return (
+                    preact_fixup_same_packed(
+                        h, w1, w2, w3, scalars, width=hw[1], pad_mode=pad_mode
+                    ),
+                    None,
+                )
+
+        else:
+
+            def body(h, p):
+                w1, w2, w3, scalars = p
+                return (
+                    preact_fixup_same_ndhwc(
+                        h, w1, w2, w3, scalars, pad_mode=pad_mode
+                    ),
+                    None,
+                )
+
+        if remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, stacked)
+        return unpack(x, hw) if use_packed else x
+
+    if use_packed:
+        hw = (x.shape[2], x.shape[3])
+        x = pack(x)
+        for j in range(n_blocks):
+            x = make_block(j, hw[1])(x)
+        return unpack(x, hw)
+    for j in range(n_blocks):
+        x = make_block(j, None)(x)
+    return x
+
+
 class DownBlock(nn.Module):
     """n_down × (stride-2 'down' resblock doubling channels, then
     ``n_post_downscale_blocks`` 'same' blocks). Reference layers.py:306-324."""
@@ -470,15 +670,15 @@ class DownBlock(nn.Module):
     num_layers: int = 1
     pad_mode: str = "wrap"
     dtype: Optional[Dtype] = None
+    packed: bool = False  # channel-pack the 'same' stacks when profitable
+    scan: bool = True  # lax.scan the 'same' stacks (pre-activation only)
+    remat_scan: bool = False  # checkpoint each scan iteration
 
     @nn.compact
     def __call__(self, x):
         block = RESBLOCKS[self.resblock]
-        kw = (
-            {"pad_mode": self.pad_mode}
-            if self.resblock == "pre-activation"
-            else {}
-        )
+        pre_act = self.resblock == "pre-activation"
+        kw = {"pad_mode": self.pad_mode} if pre_act else {}
         for i in range(self.n_down):
             ch = self.in_channels * 2 ** (i + 1)
             x = block(
@@ -489,15 +689,33 @@ class DownBlock(nn.Module):
                 name=f"down_{i}",
                 **kw,
             )(x)
-            for j in range(self.n_post_downscale_blocks):
-                x = block(
+            x = apply_same_stack(
+                x,
+                self.n_post_downscale_blocks,
+                lambda j, pw, ch=ch, i=i: block(
                     out_channels=ch,
                     mode="same",
                     num_layers=self.num_layers,
                     dtype=self.dtype,
                     name=f"down_{i}_post_{j}",
-                    **kw,
-                )(x)
+                    **({**kw, "packed_width": pw} if pw else kw),
+                ),
+                make_params=(
+                    (
+                        lambda j, ch=ch, i=i: PreActParams(
+                            channels=ch,
+                            num_layers=self.num_layers,
+                            name=f"down_{i}_post_{j}",
+                        )()
+                    )
+                    if pre_act and self.scan
+                    else None
+                ),
+                enabled=self.packed and pre_act,
+                remat=self.remat_scan,
+                pad_mode=self.pad_mode,
+                dtype=self.dtype,
+            )
         return x
 
 
@@ -517,15 +735,15 @@ class UpBlock(nn.Module):
     num_layers: int = 1
     pad_mode: str = "wrap"
     dtype: Optional[Dtype] = None
+    packed: bool = False  # channel-pack the 'same' stacks when profitable
+    scan: bool = True  # lax.scan the 'same' stacks (pre-activation only)
+    remat_scan: bool = False  # checkpoint each scan iteration
 
     @nn.compact
     def __call__(self, x):
         block = RESBLOCKS[self.resblock]
-        kw = (
-            {"pad_mode": self.pad_mode}
-            if self.resblock == "pre-activation"
-            else {}
-        )
+        pre_act = self.resblock == "pre-activation"
+        kw = {"pad_mode": self.pad_mode} if pre_act else {}
         for i in range(self.n_up - 1, -1, -1):
             ch = self.out_channels * 2**i
             x = block(
@@ -536,15 +754,33 @@ class UpBlock(nn.Module):
                 name=f"up_{i}",
                 **kw,
             )(x)
-            for j in range(self.n_post_upscale_blocks):
-                x = block(
+            x = apply_same_stack(
+                x,
+                self.n_post_upscale_blocks,
+                lambda j, pw, ch=ch, i=i: block(
                     out_channels=ch,
                     mode="same",
                     num_layers=self.num_layers,
                     dtype=self.dtype,
                     name=f"up_{i}_post_{j}",
-                    **kw,
-                )(x)
+                    **({**kw, "packed_width": pw} if pw else kw),
+                ),
+                make_params=(
+                    (
+                        lambda j, ch=ch, i=i: PreActParams(
+                            channels=ch,
+                            num_layers=self.num_layers,
+                            name=f"up_{i}_post_{j}",
+                        )()
+                    )
+                    if pre_act and self.scan
+                    else None
+                ),
+                enabled=self.packed and pre_act,
+                remat=self.remat_scan,
+                pad_mode=self.pad_mode,
+                dtype=self.dtype,
+            )
         return x
 
 
@@ -564,6 +800,9 @@ class PreQuantizationConditioning(nn.Module):
     num_layers: int = 1
     pad_mode: str = "wrap"
     dtype: Optional[Dtype] = None
+    packed: bool = False
+    scan: bool = True
+    remat_scan: bool = False
 
     @nn.compact
     def __call__(self, x, aux=None):
@@ -580,6 +819,9 @@ class PreQuantizationConditioning(nn.Module):
                 num_layers=self.num_layers,
                 pad_mode=self.pad_mode,
                 dtype=self.dtype,
+                packed=self.packed,
+                scan=self.scan,
+                remat_scan=self.remat_scan,
                 name="upsample",
             )(aux)
             x = jnp.concatenate([x.astype(up.dtype), up], axis=-1)

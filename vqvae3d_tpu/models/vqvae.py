@@ -31,8 +31,10 @@ from flax import linen as nn
 from vqvae3d_tpu.models.blocks import (
     RESBLOCKS,
     DownBlock,
+    PreActParams,
     PreQuantizationConditioning,
     UpBlock,
+    apply_same_stack,
 )
 from vqvae3d_tpu.models.quantizer import Quantizer
 from vqvae3d_tpu.ops.conv3d import Conv3D
@@ -86,11 +88,21 @@ class VQVAEConfig:
     # 512-res single-chip training (XLA pads C<128 minor dims to 128-lane
     # tiles; C=4 at 512³ costs 64× HBM in remat copies). 1 = reference stem.
     stem_space_to_depth: int = 1
+    # 'auto' = run small-channel 'same'-block stacks in the channel-packed
+    # (B, C, D, H·W) layout (ops/packed_blocks.py — measured ~11× per-block
+    # fwd+bwd on v5e for the emb-width pre-q stacks, identical math and
+    # parameter tree); 'off' = always NDHWC.
+    packed_stacks: str = "auto"
+    # lax.scan structurally-identical 'same'-block stacks (pre-activation
+    # block type): ONE traced block instead of N — compile time and op
+    # overhead O(1) in stack depth. Identical math and parameter tree.
+    scan_stacks: bool = True
 
     def __post_init__(self):
         assert self.block_type in RESBLOCKS
         assert self.encoder_variant in ("encoder2", "encoder")
         assert self.metric in ("huber", "mixture-nll"), self.metric
+        assert self.packed_stacks in ("auto", "off"), self.packed_stacks
         f = self.stem_space_to_depth
         assert f >= 1 and (f & (f - 1)) == 0, "stem factor must be a power of 2"
         assert 2 ** self.stem_log2 <= 2**self.n_blocks_per_bottleneck, (
@@ -214,6 +226,10 @@ class Encoder(nn.Module):
         block_kw = (
             {"pad_mode": cfg.pad_mode} if cfg.block_type == "pre-activation" else {}
         )
+        packed_on = (
+            cfg.packed_stacks == "auto" and cfg.block_type == "pre-activation"
+        )
+        scan_on = cfg.scan_stacks and cfg.block_type == "pre-activation"
 
         x = space_to_depth(x, cfg.stem_space_to_depth)
         x = Conv3D(
@@ -234,6 +250,9 @@ class Encoder(nn.Module):
                 num_layers=nl,
                 pad_mode=cfg.pad_mode,
                 dtype=cfg.dtype,
+                packed=packed_on,
+                scan=scan_on,
+                remat_scan=cfg.remat,
                 name=f"down_{i}",
             )(x)
             before *= 2 ** cfg.level_n_down(i)
@@ -250,15 +269,33 @@ class Encoder(nn.Module):
 
             if cfg.encoder_variant == "encoder":
                 # legacy: pre-q blocks at full width before conditioning
-                for j in range(cfg.n_pre_quantization_blocks):
-                    h = block_r(
+                h = apply_same_stack(
+                    h,
+                    cfg.n_pre_quantization_blocks,
+                    lambda j, pw, i=i: block_r(
                         out_channels=chans[i],
                         mode="same",
                         num_layers=nl,
                         dtype=cfg.dtype,
                         name=f"pre_quantize_{i}_{j}",
-                        **block_kw,
-                    )(h)
+                        **({**block_kw, "packed_width": pw} if pw else block_kw),
+                    ),
+                    make_params=(
+                        (
+                            lambda j, i=i: PreActParams(
+                                channels=chans[i],
+                                num_layers=nl,
+                                name=f"pre_quantize_{i}_{j}",
+                            )()
+                        )
+                        if scan_on
+                        else None
+                    ),
+                    enabled=packed_on,
+                    remat=cfg.remat,
+                    pad_mode=cfg.pad_mode,
+                    dtype=cfg.dtype,
+                )
 
             h = PreQuantizationConditioning(
                 in_channels=in_ch,
@@ -269,19 +306,40 @@ class Encoder(nn.Module):
                 num_layers=nl,
                 pad_mode=cfg.pad_mode,
                 dtype=cfg.dtype,
+                packed=packed_on,
+                scan=scan_on,
+                remat_scan=cfg.remat,
                 name=f"pre_quantize_cond_{i}",
             )(h, aux)
 
             if cfg.encoder_variant == "encoder2":
-                for j in range(cfg.n_pre_quantization_blocks):
-                    h = block_r(
+                h = apply_same_stack(
+                    h,
+                    cfg.n_pre_quantization_blocks,
+                    lambda j, pw, i=i: block_r(
                         out_channels=emb_dims[i],
                         mode="same",
                         num_layers=nl,
                         dtype=cfg.dtype,
                         name=f"pre_quantize_{i}_{j}",
-                        **block_kw,
-                    )(h)
+                        **({**block_kw, "packed_width": pw} if pw else block_kw),
+                    ),
+                    make_params=(
+                        (
+                            lambda j, i=i: PreActParams(
+                                channels=emb_dims[i],
+                                num_layers=nl,
+                                name=f"pre_quantize_{i}_{j}",
+                            )()
+                        )
+                        if scan_on
+                        else None
+                    ),
+                    enabled=packed_on,
+                    remat=cfg.remat,
+                    pad_mode=cfg.pad_mode,
+                    dtype=cfg.dtype,
+                )
 
             loss, quantized, indices = Quantizer(
                 num_embeddings=cfg.num_embeddings[i],
@@ -317,6 +375,10 @@ class Decoder(nn.Module):
         block_kw = (
             {"pad_mode": cfg.pad_mode} if cfg.block_type == "pre-activation" else {}
         )
+        packed_on = (
+            cfg.packed_stacks == "auto" and cfg.block_type == "pre-activation"
+        )
+        scan_on = cfg.scan_stacks and cfg.block_type == "pre-activation"
 
         emb_dims = cfg.embedding_dims
 
@@ -338,15 +400,33 @@ class Decoder(nn.Module):
             else:
                 h = q
 
-            for j in range(cfg.n_post_quantization_blocks):
-                h = block_r(
+            h = apply_same_stack(
+                h,
+                cfg.n_post_quantization_blocks,
+                lambda j, pw, i=i, in_ch=in_ch: block_r(
                     out_channels=in_ch,
                     mode="same",
                     num_layers=nl,
                     dtype=cfg.dtype,
                     name=f"post_quantize_{i}_{j}",
-                    **block_kw,
-                )(h)
+                    **({**block_kw, "packed_width": pw} if pw else block_kw),
+                ),
+                make_params=(
+                    (
+                        lambda j, i=i, in_ch=in_ch: PreActParams(
+                            channels=in_ch,
+                            num_layers=nl,
+                            name=f"post_quantize_{i}_{j}",
+                        )()
+                    )
+                    if scan_on
+                    else None
+                ),
+                enabled=packed_on,
+                remat=cfg.remat,
+                pad_mode=cfg.pad_mode,
+                dtype=cfg.dtype,
+            )
 
             out = up_cls(
                 in_channels=in_ch,
@@ -357,6 +437,9 @@ class Decoder(nn.Module):
                 num_layers=nl,
                 pad_mode=cfg.pad_mode,
                 dtype=cfg.dtype,
+                packed=packed_on,
+                scan=scan_on,
+                remat_scan=cfg.remat,
                 name=f"up_{i}",
             )(h)
 

@@ -180,7 +180,7 @@ def dw_conv3d_pallas(
         ),
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec(
                 (1, 1, th, wo, cout),
                 lambda i: (
