@@ -24,14 +24,29 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
+from vqvae3d_tpu.ops import s2d_conv
 from vqvae3d_tpu.ops.conv3d import (
     Conv3D,
     conv3d,
     fixup_branch_init,
     kaiming_normal_init,
+    torch_conv_default_init,
     xavier_normal_init,
+)
+from vqvae3d_tpu.ops.resize import (
+    depth_to_space,
+    space_to_depth,
+    trilinear_upsample2x,
+    upsample2x_to_s2d,
+)
+from vqvae3d_tpu.ops.s2d_conv import (
+    block_stack_ok,
+    conv1x1_block_kernel,
+    k3s1_block_kernel,
+    preact_fixup_same_block,
 )
 from vqvae3d_tpu.ops.packed_blocks import (
     pack,
@@ -39,7 +54,6 @@ from vqvae3d_tpu.ops.packed_blocks import (
     preact_fixup_same_packed,
     unpack,
 )
-from vqvae3d_tpu.ops.resize import trilinear_upsample2x
 
 Dtype = Any
 
@@ -62,6 +76,27 @@ class _ConvKernel(nn.Module):
     @nn.compact
     def __call__(self):
         return self.param("kernel", self.init, self.shape)
+
+
+class _ConvKernelBias(nn.Module):
+    """Conv kernel + optional bias parameter holder at Conv3D's tree paths
+    ('<name>/kernel', '<name>/bias') — for compute paths that consume the
+    weights functionally (block-space ResizeConv3D)."""
+
+    shape: Any
+    init: Callable
+    use_bias: bool = False
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", self.init, self.shape)
+        b = (
+            self.param("bias", self.bias_init, (self.shape[-1],))
+            if self.use_bias
+            else None
+        )
+        return w, b
 
 
 class PreActParams(nn.Module):
@@ -116,7 +151,14 @@ def preact_fixup_same_ndhwc(x, w1, w2, w3, scalars, *, pad_mode: str):
 
 
 class ResizeConv3D(nn.Module):
-    """Trilinear ×2 upsample followed by a conv — checkerboard-free upscale."""
+    """Trilinear ×2 upsample followed by a conv — checkerboard-free upscale.
+
+    TPU path: for mid-width inputs on big grids the upsample is emitted
+    directly in space-to-depth form (ops/resize.py::upsample2x_to_s2d) and
+    the conv runs in block space (ops/s2d_conv.py) — the fine-resolution
+    tensor never materializes with a 128-lane-padded small channel dim.
+    Parameter tree and outputs are identical to the stock path.
+    """
 
     features: int
     kernel_size: int = 3
@@ -128,6 +170,39 @@ class ResizeConv3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        cin = x.shape[-1]
+        out_voxels = 8 * int(np.prod(x.shape[1:4]))
+        use_block = (
+            x.ndim == 5
+            and self.kernel_size in (1, 3)
+            and self.pad == (1 if self.kernel_size == 3 else 0)
+            and max(cin, self.features) <= 32
+            and out_voxels >= s2d_conv._MIN_VOXELS
+        )
+        if use_block:
+            kernel_init = self.kernel_init or torch_conv_default_init()
+            k = self.kernel_size
+            w, b = _ConvKernelBias(
+                (k, k, k, cin, self.features),
+                kernel_init,
+                use_bias=self.use_bias,
+                name="conv",
+            )()
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            xs = upsample2x_to_s2d(x)
+            if k == 3:
+                out = conv3d(
+                    xs,
+                    k3s1_block_kernel(w.astype(xs.dtype)),
+                    padding=[(1, 1)] * 3,
+                    pad_mode=self.pad_mode,
+                )
+            else:
+                out = conv3d(xs, conv1x1_block_kernel(w.astype(xs.dtype)))
+            if b is not None:
+                out = out + jnp.tile(b.astype(out.dtype), 8)
+            return depth_to_space(out, 2)
         x = trilinear_upsample2x(x)
         return Conv3D(
             features=self.features,
@@ -611,6 +686,15 @@ def apply_same_stack(
         and x.ndim == 5
         and packed_stack_ok(x.shape[-1], tuple(x.shape[1:4]), n_blocks)
     )
+    # mid-width (C=5..32) big-grid stacks: run in 2× block space (s2d) so the
+    # channel lane dim is 8C-dense instead of 128-lane-padded (ops/s2d_conv)
+    use_block = (
+        enabled
+        and not use_packed
+        and make_params is not None
+        and x.ndim == 5
+        and block_stack_ok(x.shape[-1], tuple(x.shape[1:4]), n_blocks)
+    )
 
     if make_params is not None:
         per_block = [make_params(j) for j in range(n_blocks)]
@@ -632,6 +716,18 @@ def apply_same_stack(
                     None,
                 )
 
+        elif use_block:
+            x = space_to_depth(x, 2)
+
+            def body(h, p):
+                w1, w2, w3, scalars = p
+                return (
+                    preact_fixup_same_block(
+                        h, w1, w2, w3, scalars, pad_mode=pad_mode
+                    ),
+                    None,
+                )
+
         else:
 
             def body(h, p):
@@ -646,7 +742,11 @@ def apply_same_stack(
         if remat:
             body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, stacked)
-        return unpack(x, hw) if use_packed else x
+        if use_packed:
+            return unpack(x, hw)
+        if use_block:
+            return depth_to_space(x, 2)
+        return x
 
     if use_packed:
         hw = (x.shape[2], x.shape[3])

@@ -24,7 +24,24 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vqvae3d_tpu.ops.resize import space_to_depth
+
 IntOr3 = Union[int, Tuple[int, int, int]]
+
+
+def k4s2_block_kernel(w: jax.Array) -> jax.Array:
+    """(4,4,4,C,Co) -> (2,2,2,8C,Co): k4-stride2 == k2-stride1 on s2d(x,2).
+
+    Input channel packing follows ops.resize.space_to_depth ((f0,f1,f2,c),
+    c fastest): w[2δ+r] multiplies phase r of block δ, so block tap δ's
+    input channel (r0,r1,r2,c) carries w[2δ0+r0, 2δ1+r1, 2δ2+r2, c]. A pure
+    weight rearrangement — zero extra FLOPs, and the conv becomes stride-1
+    (so the one-dot dW path applies) with 8× the input lanes.
+    """
+    k0, k1, k2, c, co = w.shape
+    assert (k0, k1, k2) == (4, 4, 4), w.shape
+    wb = w.reshape(2, 2, 2, 2, 2, 2, c, co).transpose(0, 2, 4, 1, 3, 5, 6, 7)
+    return wb.reshape(2, 2, 2, 8 * c, co)
 
 
 def _triple(v: IntOr3) -> Tuple[int, int, int]:
@@ -55,6 +72,38 @@ def pad3d(
     raise ValueError(f"unknown pad mode {mode!r}")
 
 
+def _can_block_rewrite(x_shape, w_shape, pads) -> bool:
+    """Gate for the generic stride-1 2×-block-space rewrite: small channels
+    on a large all-even grid whose conv output dims are also even.
+
+    Channel cap 16 (not 32) at the base grid-size threshold: the
+    block-space k≥3 kernel embedding costs 8× the FLOPs, so it only
+    clearly pays while the lane-density gain is ≥ 8× — i.e. 8C ≤ 128.
+    C = 17..32 is allowed only on 4×-larger grids, where XLA's direct
+    small-C lowering degrades enough that the denser layout wins anyway.
+    Measured (PERF.md): the C=32 bottleneck conv of the NDHWC-scanned
+    C=64 stacks costs ~280 ms/step rewritten at 256-res (131k voxels)
+    but saves ~185 ms/step at 512-res (524k voxels).
+    """
+    cin, cout = x_shape[-1], w_shape[-1]
+    c = max(cin, cout)
+    if c > 32 or w_shape[:3] == (1, 1, 1):
+        return False
+    spatial = x_shape[1:4]
+    if any(s % 2 for s in spatial):
+        return False
+    out = [
+        s + lo + hi - k + 1
+        for s, (lo, hi), k in zip(spatial, pads, w_shape[:3])
+    ]
+    if any(o % 2 or o <= 0 for o in out):
+        return False
+    from vqvae3d_tpu.ops import s2d_conv
+
+    min_voxels = s2d_conv._MIN_VOXELS * (1 if c <= 16 else 4)
+    return int(np.prod(out)) >= min_voxels
+
+
 def conv3d(
     x: jax.Array,
     w: jax.Array,
@@ -65,8 +114,38 @@ def conv3d(
     pad_mode: str = "zeros",
     groups: int = 1,
     precision=None,
+    block_rewrite: bool = True,
 ) -> jax.Array:
     """x: (N, D, H, W, Cin); w: (kD, kH, kW, Cin/groups, Cout)."""
+    # Generic stride-1 rewrite into 2× block space (ops/s2d_conv.py): any
+    # explicitly-padded stride-1 conv with ≤32 channels over a large even
+    # grid runs as an 8C-lane-dense conv on the space-to-depth tensor — an
+    # exact weight-space embedding. Covers the priors' causal convs
+    # (reference pixel_model/layers.py:193-215) and the VQ-VAE's stray
+    # 'same'/'out' convs outside the stack runners.
+    if (
+        block_rewrite
+        and groups == 1
+        and precision is None
+        and not isinstance(padding, str)
+        and _triple(stride) == (1, 1, 1)
+        and _can_block_rewrite(x.shape, w.shape, tuple(padding))
+    ):
+        from vqvae3d_tpu.ops.resize import depth_to_space
+        from vqvae3d_tpu.ops.s2d_conv import stride1_block_kernel
+
+        wb, pad_b = stride1_block_kernel(w, tuple(padding))
+        out = conv3d(
+            space_to_depth(x, 2),
+            wb,
+            padding=pad_b,
+            pad_mode=pad_mode,
+            block_rewrite=False,
+        )
+        out = depth_to_space(out, 2)
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
     if not isinstance(padding, str):
         x = pad3d(x, padding, mode=pad_mode)
         padding = "VALID"
@@ -85,6 +164,43 @@ def conv3d(
         and _triple(stride) == (1, 1, 1)
         and groups == 1
     ):
+        out = jax.lax.dot_general(
+            x,
+            w[0, 0, 0].astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        )
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
+    # k4-stride2 down convs (the only strided convs in the architecture,
+    # reference vqvae/layers.py:124-151) rewrite EXACTLY to k2-stride1 on the
+    # space-to-depth tensor: 8× the input lanes (C=8..32 would otherwise pad
+    # 16-4× to the 128-lane tile) and a stride-1 dW (one-dot instead of the
+    # 27-slice strided fallback). Pure weight rearrangement; output identical.
+    if (
+        groups == 1
+        and padding == "VALID"
+        and w.shape[:3] == (4, 4, 4)
+        and _triple(stride) == (2, 2, 2)
+        and x.shape[-1] <= 32
+        and all(s % 2 == 0 for s in x.shape[1:4])
+    ):
+        x = space_to_depth(x, 2)
+        w = k4s2_block_kernel(w)
+        stride = 1
+    # k2-stride2 (the 'down' skip convs, reference vqvae/layers.py:124-151)
+    # is EXACTLY a 1×1×1 channel contraction on the space-to-depth tensor:
+    # s2d channel (r0,r1,r2,c) pairs with w[r0,r1,r2,c,:] — a plain reshape.
+    if (
+        groups == 1
+        and padding == "VALID"
+        and w.shape[:3] == (2, 2, 2)
+        and _triple(stride) == (2, 2, 2)
+        and x.shape[-1] <= 32
+        and all(s % 2 == 0 for s in x.shape[1:4])
+    ):
+        x = space_to_depth(x, 2)
+        w = w.reshape(1, 1, 1, 8 * w.shape[3], w.shape[4])
         out = jax.lax.dot_general(
             x,
             w[0, 0, 0].astype(x.dtype),

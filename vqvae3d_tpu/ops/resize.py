@@ -79,6 +79,39 @@ def trilinear_upsample2x(x: jax.Array) -> jax.Array:
     return x
 
 
+def upsample2x_to_s2d(x: jax.Array) -> jax.Array:
+    """×2 trilinear upsample emitted directly in space-to-depth form.
+
+    (B, D, H, W, C) → (B, D, H, W, 8C) such that
+    ``depth_to_space(upsample2x_to_s2d(x), 2) == trilinear_upsample2x(x)``
+    exactly. The fine-resolution tensor never materializes in NDHWC layout —
+    on TPU that tensor's small channel minor dim would be padded to 128
+    lanes; the s2d form is 8C-dense. Channel order matches space_to_depth:
+    (r0, r1, r2, c), c fastest.
+    """
+    for axis in (3, 2, 1):  # W, then H, then D ⇒ (r0, r1, r2, c) ordering
+        n = x.shape[axis]
+
+        def shift(arr, offset):
+            idx_lo = [slice(None)] * arr.ndim
+            idx_hi = [slice(None)] * arr.ndim
+            if offset == -1:
+                idx_lo[axis] = slice(0, 1)
+                idx_hi[axis] = slice(0, n - 1)
+            else:
+                idx_lo[axis] = slice(1, n)
+                idx_hi[axis] = slice(n - 1, n)
+            return jnp.concatenate(
+                [arr[tuple(idx_lo)], arr[tuple(idx_hi)]], axis=axis
+            )
+
+        even = 0.75 * x + 0.25 * shift(x, -1)
+        odd = 0.75 * x + 0.25 * shift(x, +1)
+        stacked = jnp.stack([even, odd], axis=-2)  # phase-major vs existing C
+        x = stacked.reshape(*x.shape[:-1], 2 * x.shape[-1])
+    return x
+
+
 def nearest_upsample(x: jax.Array, factor: int) -> jax.Array:
     """Integer-factor nearest-neighbor upsample of NDHWC spatial dims."""
     for axis in (1, 2, 3):

@@ -1,0 +1,217 @@
+"""Space-to-depth-domain convolutions: exact weight-space rewrites that keep
+mid-width (C = 8..32) activations lane-dense on TPU.
+
+Why (profiled, see PERF.md): XLA materializes NDHWC tensors with the channel
+minor dim padded to 128 lanes. The packed (B, C, D, H·W) path
+(ops/packed_blocks.py) fixes this for C ≤ 4 via scalar expansion, but the
+down/up-scale stages and the post-down/up 'same' stacks run at C = 8..64 over
+large grids — scalar expansion there blows up compile time, while the stock
+conv pays an 8-16× HBM padding tax.
+
+The fix: run those convs in the space-to-depth domain. ``s2d(x, 2)`` packs
+2×2×2 voxel blocks into channels (8C ≥ 64 lanes — dense), and every conv in
+the reference architecture has an EXACT equivalent on the packed tensor via a
+pure rearrangement (or sparse embedding) of its own weights:
+
+  * k4-stride2 conv  ==  k2-stride1 conv on s2d(x) with the (4,4,4,C,Co)
+    kernel rearranged to (2,2,2,8C,Co).  Zero extra FLOPs; the weight
+    gradient becomes a stride-1 one-dot (ops/conv3d.py) instead of the
+    27-slice strided fallback.
+  * k3-stride1 'same' conv  ==  k3-stride1 'same' conv in block space with
+    the (3,3,3,C,Co) kernel embedded into (3,3,3,8C,8Co).  The block kernel
+    is ~8× denser in storage (each output phase only reaches a 2³ sub-window
+    of the 3³ block taps), i.e. 8× the FLOPs — irrelevant at the <1% MFU
+    these stages run at, while HBM traffic drops up to 16×.
+  * 1×1×1 conv  ==  1×1×1 conv with the (C,Co) matrix embedded block-
+    diagonally into (8C,8Co).
+
+'wrap' (circular) and 'zeros' padding both map exactly to the same padding in
+block space whenever the spatial dims are even — true for every grid in the
+reference configs (/root/reference/vqvae/layers.py:102-216 same-blocks,
+:124-151 k4s2 down convs at 512/256-res).
+
+All transforms here are traced (jit-time) functions of the weights, so the
+parameter tree is IDENTICAL to the stock path — checkpoints interconvert
+freely and the torch converter is unaffected.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae3d_tpu.ops.conv3d import conv3d, k4s2_block_kernel
+from vqvae3d_tpu.ops.resize import depth_to_space, space_to_depth
+
+
+def conv_k4s2_via_s2d(xp: jax.Array, w: jax.Array) -> jax.Array:
+    """k4-stride2 VALID conv on pre-padded NDHWC ``xp`` via block space.
+
+    Requires every padded spatial dim to be even (k4s2p1 on even input dims
+    always is: D+2). Output is identical to the direct conv.
+    """
+    assert all(s % 2 == 0 for s in xp.shape[1:4]), xp.shape
+    return conv3d(space_to_depth(xp, 2), k4s2_block_kernel(w), stride=1)
+
+
+def k3s1_block_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,3,C,Co) -> (3,3,3,8C,8Co): 'same' k3 conv in 2× block space.
+
+    out[2q+r] = Σ_k w[k]·x[2q+r+k-1]; writing r+k-1 = 2δ+s places tap k of
+    output phase r at block offset δ = floor((r+k-1)/2) ∈ {-1,0,1}, input
+    phase s = (r+k-1) mod 2. Block conv runs 'same' with pad 1, so block
+    kernel index is δ+1. Each (r, k) hits a unique (δ, s): the embedding is
+    an assignment, never a sum.
+    """
+    assert w.shape[:3] == (3, 3, 3), w.shape
+    wb, pad_b = stride1_block_kernel(w, ((1, 1),) * 3)
+    assert pad_b == ((1, 1),) * 3
+    return wb
+
+
+def conv_k3s1_same_via_s2d(x: jax.Array, w: jax.Array, pad_mode: str) -> jax.Array:
+    """'same' k3 conv on NDHWC ``x`` (even spatial dims) via 2× block space."""
+    assert all(s % 2 == 0 for s in x.shape[1:4]), x.shape
+    out = conv3d(
+        space_to_depth(x, 2),
+        k3s1_block_kernel(w),
+        padding=[(1, 1)] * 3,
+        pad_mode=pad_mode,
+    )
+    return depth_to_space(out, 2)
+
+
+def conv1x1_block_kernel(w: jax.Array) -> jax.Array:
+    """(1,1,1,C,Co) -> (1,1,1,8C,8Co): phase-block-diagonal embedding."""
+    c, co = w.shape[-2:]
+    eye = jnp.eye(8, dtype=w.dtype)
+    wb = jnp.einsum("pq,co->pcqo", eye, w[0, 0, 0]).reshape(8 * c, 8 * co)
+    return wb[None, None, None]
+
+
+def stride1_block_kernel(
+    w: jax.Array, pad: Tuple[Tuple[int, int], ...]
+) -> Tuple[jax.Array, Tuple[Tuple[int, int], ...]]:
+    """Embed ANY stride-1 explicitly-padded conv into 2× block space.
+
+    (K0,K1,K2,C,Co), pad ((lo,hi)×3)  →  (J0,J1,J2,8C,8Co), block pad, s.t.
+
+      conv(x, w, padding=pad) ==
+          d2s(conv(s2d(x,2), wb, padding=pad_b), 2)
+
+    exactly, for zeros AND wrap padding, whenever x's spatial dims and the
+    output dims are even. Derivation: out[2q+r] = Σ_k w[k]·x[2q+r+k−lo];
+    writing r+k−lo = 2δ+s places tap k of output phase r at block offset
+    δ = floor((r+k−lo)/2), input phase s — each (r,k) hits a unique (δ,s).
+    Block tap range [δ_min, δ_max] gives J = δ_max−δ_min+1, lo_b = −δ_min =
+    ceil(lo/2), and hi_b completes the output block count. Generalizes
+    k3s1_block_kernel (K=3, pad 1 → J=3, pad_b 1) and covers the causal
+    convs' asymmetric front padding (reference pixel_model/layers.py:193-215).
+    """
+    K = w.shape[:3]
+    axes = []
+    for a in range(3):
+        lo, hi = pad[a]
+        lo_b = (lo + 1) // 2
+        d_min, d_max = -lo_b, (K[a] - lo) // 2
+        J = d_max - d_min + 1
+        # output blocks per input block: M = N+lo+hi-K+1 (even); Mb = M/2;
+        # Nb + lo_b + hi_b - J + 1 = Mb = (N+lo+hi-K+1)/2
+        # hi_b independent of N: (lo+hi-K+1)/2 - lo_b + J - 1
+        m_extra = lo + hi - K[a] + 1
+        assert m_extra % 2 == 0, (
+            f"axis {a}: output parity changes (K={K[a]}, pad={pad[a]}); "
+            "block space needs even output dims"
+        )
+        hi_b = m_extra // 2 - lo_b + J - 1
+        assert hi_b >= 0, (a, K[a], pad[a])
+        sel = np.zeros((J, 2, 2), np.int64)  # [j, s, r] -> k+1 (0 = no tap)
+        for r in range(2):
+            for k in range(K[a]):
+                t = r + k - lo
+                d, s = t // 2, t % 2
+                sel[d - d_min, s, r] = k + 1
+        axes.append((sel, (lo_b, hi_b)))
+
+    wp = jnp.pad(w, ((1, 0), (1, 0), (1, 0), (0, 0), (0, 0)))  # 0-slot at k=-1
+    s0, s1, s2 = (jnp.asarray(a[0]) for a in axes)
+    wb = wp[
+        s0[:, :, :, None, None, None, None, None, None],
+        s1[None, None, None, :, :, :, None, None, None],
+        s2[None, None, None, None, None, None, :, :, :],
+    ]
+    # (J0,2,2, J1,2,2, J2,2,2, C, Co) -> (j0,j1,j2, s0,s1,s2,c, r0,r1,r2,co)
+    wb = wb.transpose(0, 3, 6, 1, 4, 7, 9, 2, 5, 8, 10)
+    c, co = w.shape[3:]
+    wb = wb.reshape(
+        axes[0][0].shape[0], axes[1][0].shape[0], axes[2][0].shape[0],
+        8 * c, 8 * co,
+    )
+    return wb, tuple(a[1] for a in axes)
+
+
+# Shared with ops/packed_blocks.py: grids below this are op-overhead-bound
+# and the stock NDHWC path is fine.
+_MIN_VOXELS = 32 * 64 * 64
+
+
+def block_stack_ok(channels: int, spatial: Tuple[int, int, int], n_blocks: int) -> bool:
+    """Should a stack of 'same' PreActFixup blocks run in 2× block space?
+
+    Complements packed_stack_ok (which owns C ≤ 4 via scalar expansion):
+    block space pays off for mid widths where 8C fills the 128 lanes XLA
+    would otherwise pad to. Above C=32 the stock NDHWC layout is already
+    ≥ 1/4 dense and block space's 8× w2 FLOPs start to matter.
+    """
+    d, h, w = spatial
+    if not (channels <= 32):
+        return False
+    if d % 2 or h % 2 or w % 2:
+        return False  # can't space-to-depth odd dims
+    if d * h * w < _MIN_VOXELS:
+        return False  # tiny grids are op-overhead-bound
+    return n_blocks >= 1
+
+
+def preact_fixup_same_block(
+    x: jax.Array,
+    w1: jax.Array,
+    w2: jax.Array,
+    w3: jax.Array,
+    scalars,
+    *,
+    pad_mode: str,
+) -> jax.Array:
+    """One 'same'-mode PreActFixupResBlock on a space-to-depth activation.
+
+    x: (B, D/2, H/2, W/2, 8C); weights are the stock NDHWC parameters
+    (1,1,1,C,Cb), (3,3,3,Cb,Cb), (1,1,1,Cb,C) — embedded into block space at
+    trace time. Mirrors models/blocks.py::preact_fixup_same_ndhwc exactly
+    (which mirrors reference vqvae/layers.py:102-216); scalar biases and elu
+    are elementwise and phase-invariant, so they commute with s2d verbatim.
+    """
+    dt = x.dtype
+    b1a, b1b, b2a, b2b, b3a, b3b, b4, scale = (s.astype(dt) for s in scalars)
+    act = jax.nn.elu
+    out = act(x + b1a) + b1b
+    out = conv3d(out, conv1x1_block_kernel(w1))
+    out = act(out + b2a) + b2b
+    out = conv3d(
+        out, k3s1_block_kernel(w2), padding=[(1, 1)] * 3, pad_mode=pad_mode
+    )
+    out = act(out + b3a) + b3b
+    out = conv3d(out, conv1x1_block_kernel(w3))
+    return out * scale + b4 + x
+
+
+__all__ = [
+    "k4s2_block_kernel",
+    "k3s1_block_kernel",
+    "conv1x1_block_kernel",
+    "conv_k4s2_via_s2d",
+    "conv_k3s1_same_via_s2d",
+    "block_stack_ok",
+    "preact_fixup_same_block",
+]
