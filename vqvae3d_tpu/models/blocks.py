@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from vqvae3d_tpu.ops import s2d_conv
+from vqvae3d_tpu.ops import fused_block, s2d_conv
 from vqvae3d_tpu.ops.conv3d import (
     Conv3D,
     conv3d,
@@ -718,15 +718,46 @@ def apply_same_stack(
 
         elif use_block:
             x = space_to_depth(x, 2)
+            # Opt-in (VQVAE3D_FUSED_STACK=1) single-device path: the whole
+            # block runs as ONE fused Pallas kernel (ops/fused_block.py) —
+            # all intermediates stay in VMEM instead of round-tripping HBM
+            # through XLA's pad/slice/copy fusions. custom_vjp supplies
+            # exact gradients, so the scan body is NOT rematerialized in
+            # this mode (the kernel's residuals are just its inputs).
+            # Why opt-in: see fused_block.fused_stack_supported — wins in
+            # isolation, loses DMA/compute overlap in the full train step.
+            use_fused = fused_block.fused_stack_supported(
+                x.shape[-1], tuple(x.shape[1:4])
+            )
+            if use_fused:
+                interp = jax.default_backend() != "tpu"
 
-            def body(h, p):
-                w1, w2, w3, scalars = p
-                return (
-                    preact_fixup_same_block(
-                        h, w1, w2, w3, scalars, pad_mode=pad_mode
-                    ),
-                    None,
-                )
+                def body(h, p):
+                    w1, w2, w3, scalars = p
+                    w1e = conv1x1_block_kernel(w1)[0, 0, 0].astype(h.dtype)
+                    w2e = k3s1_block_kernel(w2).astype(h.dtype)
+                    w3e = conv1x1_block_kernel(w3)[0, 0, 0].astype(h.dtype)
+                    sc8 = jnp.concatenate(
+                        [s.astype(jnp.float32) for s in scalars]
+                    )
+                    return (
+                        fused_block.preact_block_fused(
+                            h, w1e, w2e, w3e, sc8, pad_mode, interp
+                        ),
+                        None,
+                    )
+
+                remat = False
+            else:
+
+                def body(h, p):
+                    w1, w2, w3, scalars = p
+                    return (
+                        preact_fixup_same_block(
+                            h, w1, w2, w3, scalars, pad_mode=pad_mode
+                        ),
+                        None,
+                    )
 
         else:
 

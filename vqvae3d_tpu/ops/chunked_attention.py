@@ -7,9 +7,12 @@ with dropped entries set to −1e3 (/root/reference/pixel_model/layers.py:
 fell back to dense O(S²) logits (2 GB/stream at the mid level's S=8192).
 
 This module is the TPU-native fix: an online-softmax (flash-style)
-attention computed at the XLA level — lax.scan over query blocks, a
-dynamic-bound fori_loop over the causally-reachable key blocks — with the
-reference's dropout quirk applied per (CQ, CK) logit tile. Memory is
+attention computed at the XLA level — query blocks unrolled (so each
+block's key-loop bound is the static ``qi+1``: only causally-reachable
+key blocks are ever computed, and reverse-mode AD through the fori_loop
+works) — with the reference's dropout quirk applied per (CQ, CK) logit
+tile. The q·k and p·v dots run in the input dtype (bf16 on the train
+path) with fp32 accumulation; softmax statistics stay fp32. Memory is
 O(S·CK) instead of O(S²); every FLOP is an MXU dot. The backward pass
 rematerializes per-block (jax.checkpoint) so no logit tile is ever saved.
 
@@ -74,28 +77,40 @@ def causal_attention_chunked(
 
     nqb = sp // blk_q
     nkb = sp // blk_k
-    q = q.astype(jnp.float32) * sm_scale
-    k = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    # The matmuls run in the INPUT dtype (bf16 on the train path — fp32
+    # dots with Precision.HIGHEST ran at ~1/8 MXU rate, profiled at the
+    # mid level) with fp32 accumulation; the softmax statistics (m, l,
+    # logit max/exp) stay fp32 throughout.
+    cdt = q.dtype
+    # fp32 inputs (fp32-precision training/eval) keep exact fp32 dots;
+    # bf16 default precision is already exact for bf16 operands.
+    prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
+    q = (q.astype(jnp.float32) * sm_scale).astype(cdt)
 
     k_blocks = k.reshape(b, nh, nkb, blk_k, dh)
-    v_blocks = vf.reshape(b, nh, nkb, blk_k, dv)
-    q_blocks = q.reshape(b, nh, nqb, blk_q, dh).transpose(2, 0, 1, 3, 4)
+    v_blocks = v.reshape(b, nh, nkb, blk_k, dv)
+    q_blocks = q.reshape(b, nh, nqb, blk_q, dh)
 
     rng0 = dropout_rng if dropout_rng is not None else jax.random.PRNGKey(0)
 
     def one_q_block(qi, qb):
-        """qb: (B, nh, blk_q, dh) → (B, nh, blk_q, dv)."""
+        """qb: (B, nh, blk_q, dh) → (B, nh, blk_q, dv). qi is a python int:
+        the key loop bound qi+1 is static, so only causally-reachable key
+        blocks are ever computed (half the FLOPs of a full sweep) and
+        reverse-mode AD through fori_loop works."""
         q_idx = qi * blk_q + jnp.arange(blk_q)
 
         def kv_step(ki, carry):
             m, l, acc = carry
             kb = jax.lax.dynamic_index_in_dim(k_blocks, ki, 2, False)
             vb = jax.lax.dynamic_index_in_dim(v_blocks, ki, 2, False)
-            logits = jnp.einsum(
-                "bhqd,bhkd->bhqk", qb, kb,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            logits = jax.lax.dot_general(
+                qb,
+                kb,
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (b, nh, blk_q, blk_k) fp32
             if dropout_p > 0.0:
                 rng_blk = jax.random.fold_in(rng0, qi * nkb + ki)
                 keep = jax.random.bernoulli(
@@ -113,30 +128,26 @@ def causal_attention_chunked(
             )
             p = jnp.exp(logits - m_new[..., None])
             l_new = l * alpha + jnp.sum(p, axis=-1)
-            acc_new = acc * alpha[..., None] + jnp.einsum(
-                "bhqk,bhkd->bhqd", p, vb,
-                precision=jax.lax.Precision.HIGHEST,
+            acc_new = acc * alpha[..., None] + jax.lax.dot_general(
+                p.astype(cdt),
+                vb,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+                precision=prec,
             )
             return m_new, l_new, acc_new
 
         m0 = jnp.full((b, nh, blk_q), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((b, nh, blk_q), jnp.float32)
         acc0 = jnp.zeros((b, nh, blk_q, dv), jnp.float32)
-        # static trip count (a traced bound would lower to while_loop,
-        # which has no reverse-mode AD — this must train). Fully-future
-        # key blocks are no-ops under the causal mask: alpha=1, p=0.
-        m, l, acc = jax.lax.fori_loop(0, nkb, kv_step, (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(0, qi + 1, kv_step, (m0, l0, acc0))
         return acc / jnp.maximum(l, 1e-30)[..., None]
 
-    def scan_body(_, args):
-        qi, qb = args
-        out = jax.checkpoint(one_q_block)(qi, qb)
-        return None, out
-
-    _, outs = jax.lax.scan(
-        scan_body, None, (jnp.arange(nqb), q_blocks)
-    )  # (nqb, B, nh, blk_q, dv)
-    out = outs.transpose(1, 2, 0, 3, 4).reshape(b, nh, sp, dv)
+    outs = [
+        jax.checkpoint(functools.partial(one_q_block, qi))(q_blocks[:, :, qi])
+        for qi in range(nqb)
+    ]
+    out = jnp.stack(outs, axis=2).reshape(b, nh, sp, dv)
     if pad:
         out = out[:, :, :s]
     return out.astype(v.dtype)
