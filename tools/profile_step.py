@@ -61,6 +61,7 @@ def analyze_xplane(trace_dir: str, top: int = 40):
     per_op = collections.Counter()
     per_cat = collections.Counter()
     total_ps = 0
+    modules = []
     for plane in xspace.planes:
         name = plane.name.lower()
         if not ("tpu" in name or "device" in name or "gpu" in name):
@@ -70,6 +71,16 @@ def analyze_xplane(trace_dir: str, top: int = 40):
         ev_meta = plane.event_metadata
         for line in plane.lines:
             lname = line.name.lower()
+            if "xla modules" in lname:
+                # whole-executable on-device times: the dispatch/RTT-immune
+                # step-time metric (wall clocks through the axon tunnel are
+                # noisy — see PERF.md "timing methodology")
+                for ev in line.events:
+                    md = ev_meta[ev.metadata_id]
+                    modules.append(
+                        (md.display_name or md.name, ev.duration_ps / 1e9)
+                    )
+                continue
             # XLA op lines carry per-HLO events; step lines etc. skipped
             if "xla op" not in lname and "ops" != lname and "xla ops" not in lname:
                 continue
@@ -82,6 +93,11 @@ def analyze_xplane(trace_dir: str, top: int = 40):
                 # crude categorization by op name
                 base = op.split(".")[0].split("_")[0]
                 per_cat[base] += dur
+
+    if modules:
+        print("\n=== on-device executable times (per run) ===")
+        for mname, ms in modules:
+            print(f"{ms:10.3f} ms  {mname[:100]}")
 
     print(f"\n=== device op time breakdown ({total_ps/1e9:.3f} ms total) ===")
     for op, ps in per_op.most_common(top):

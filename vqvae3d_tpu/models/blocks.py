@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from vqvae3d_tpu.ops import fused_block, s2d_conv
+from vqvae3d_tpu.ops import fused_block, s2d_conv, stack_kernel
 from vqvae3d_tpu.ops.conv3d import (
     Conv3D,
     conv3d,
@@ -703,6 +703,48 @@ def apply_same_stack(
         )
         if dtype is not None:
             x = x.astype(dtype)
+
+        # Stack-resident megakernel (ops/stack_kernel.py): the ENTIRE stack
+        # runs as ONE pallas_call with the volume resident in VMEM — one
+        # grid step per block, weights streamed, per-block inputs saved for
+        # the mirrored backward kernel. The activation is space-to-depth
+        # folded (1 or 2 times — C=2 stacks fold twice to 128 dense lanes)
+        # with the weights exactly embedded into the folded space, so the
+        # parameter tree is untouched. Default-on on real TPU
+        # (VQVAE3D_STACK_KERNEL=0 opts out); single-device only: under
+        # GSPMD an opaque pallas_call would force gathers of the sharded
+        # volume (multi-chip stays on the XLA paths below, whose
+        # collectives ride the mesh for free).
+        on_tpu = jax.default_backend() == "tpu" and jax.device_count() == 1
+        folds = (
+            stack_kernel.stack_fold(x.shape, n_blocks, x.dtype)
+            if (enabled and on_tpu)
+            else 0
+        )
+        if folds:
+            w1s, w2s, w3s, scs = stacked
+            w1e, w2e, w3e = w1s, w2s, w3s
+            for _ in range(folds):
+                x = space_to_depth(x, 2)
+                w1e = jax.vmap(conv1x1_block_kernel)(w1e)
+                w2e = jax.vmap(k3s1_block_kernel)(w2e)
+                w3e = jax.vmap(conv1x1_block_kernel)(w3e)
+            sc8 = jnp.concatenate(
+                [s.astype(jnp.float32) for s in scs], axis=-1
+            )  # (NB, 8)
+            x = stack_kernel.preact_stack_fused(
+                x,
+                w1e[:, 0, 0, 0].astype(x.dtype),
+                w2e.astype(x.dtype),
+                w3e[:, 0, 0, 0].astype(x.dtype),
+                sc8,
+                pad_mode,
+                False,
+            )
+            for _ in range(folds):
+                x = depth_to_space(x, 2)
+            return x
+
         if use_packed:
             hw = (x.shape[2], x.shape[3])
             x = pack(x)
