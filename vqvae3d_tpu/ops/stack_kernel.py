@@ -122,7 +122,7 @@ def _fwd_kernel(
     w2_ref,  # (1, 3, 3, 3, Cb8, Cb8)
     w3_ref,  # (1, Cb8, C8)
     sc_ref,  # (1, 1, 8) SMEM
-    save_ref,  # (1, 1, D, H, W, C8) block input, for backward
+    save_ref,  # (1, 1, D, H, W, C8) block input, for backward — or None
     y_ref,  # (1, D, H, W, C8) final output
     xv,  # VMEM scratch (D+2, H, W, C8): resident activation + D-halo rows
     pad_s,  # VMEM scratch (D+2, H+2, W+2, Cb8)
@@ -141,7 +141,8 @@ def _fwd_kernel(
     def _():
         xv[1 : D + 1] = x_ref[0]
 
-    save_ref[0, 0] = xv[1 : D + 1]
+    if save_ref is not None:
+        save_ref[0, 0] = xv[1 : D + 1]
 
     # depth halo rows (recomputed per block from the resident volume)
     if wrap:
@@ -198,6 +199,19 @@ def _fwd_kernel(
     @pl.when(i == nb - 1)
     def _():
         y_ref[0] = xv[1 : D + 1]
+
+
+def _fwd_kernel_nosave(x_ref, w1_ref, w2_ref, w3_ref, sc_ref, y_ref, xv, pad_s, *, wrap, nb):
+    """Primal-only forward: identical math, no per-block save outputs.
+
+    The saves exist solely for the backward kernel; the primal path (eval,
+    embedding extraction, any un-differentiated forward) would otherwise
+    write nb × volume of dead HBM traffic — 1.26 GB for the 150-block
+    256-res stack."""
+    _fwd_kernel(
+        x_ref, w1_ref, w2_ref, w3_ref, sc_ref, None, y_ref, xv, pad_s,
+        wrap=wrap, nb=nb,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -408,17 +422,33 @@ def preact_stack_fused(x, w1e, w2e, w3e, sc8, pad_mode: str, interpret: bool):
     w3e: (NB, Cb8, C8) — block-space-embedded weight stacks (ops/s2d_conv.py),
     cast to x.dtype; sc8: (NB, 8) f32 scalars per block. Equals scanning
     ops/s2d_conv.py::preact_fixup_same_block over the stacks.
+
+    The primal call runs a no-saves kernel (no residuals written); only
+    the VJP forward rule pays the per-block save traffic.
     """
-    y, _ = _fwd_impl(x, w1e, w2e, w3e, sc8, pad_mode, interpret)
-    return y
+    return _fwd_impl(x, w1e, w2e, w3e, sc8, pad_mode, interpret, saves=False)[0]
 
 
-def _fwd_impl(x, w1e, w2e, w3e, sc8, pad_mode, interpret):
+def _fwd_impl(x, w1e, w2e, w3e, sc8, pad_mode, interpret, saves):
     b, d, h, w, c8 = x.shape
     nb, _, cb8 = w1e.shape
     wrap = pad_mode == "wrap"
-    saves, y = pl.pallas_call(
-        functools.partial(_fwd_kernel, wrap=wrap, nb=nb),
+    if saves:
+        kern = functools.partial(_fwd_kernel, wrap=wrap, nb=nb)
+        out_specs = [
+            pl.BlockSpec((1, 1, d, h, w, c8), lambda bi, i: (i, bi, 0, 0, 0, 0)),
+            pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nb, b, d, h, w, c8), x.dtype),
+            jax.ShapeDtypeStruct((b, d, h, w, c8), x.dtype),
+        ]
+    else:
+        kern = functools.partial(_fwd_kernel_nosave, wrap=wrap, nb=nb)
+        out_specs = [pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((b, d, h, w, c8), x.dtype)]
+    out = pl.pallas_call(
+        kern,
         grid=(b, nb),
         in_specs=[
             pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0)),
@@ -429,14 +459,8 @@ def _fwd_impl(x, w1e, w2e, w3e, sc8, pad_mode, interpret):
                 (1, 1, 8), lambda bi, i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, d, h, w, c8), lambda bi, i: (i, bi, 0, 0, 0, 0)),
-            pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, b, d, h, w, c8), x.dtype),
-            jax.ShapeDtypeStruct((b, d, h, w, c8), x.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((d + 2, h, w, c8), x.dtype),
             pltpu.VMEM((d + 2, h + 2, w + 2, cb8), x.dtype),
@@ -444,11 +468,11 @@ def _fwd_impl(x, w1e, w2e, w3e, sc8, pad_mode, interpret):
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(x, w1e, w2e, w3e, sc8.astype(jnp.float32).reshape(nb, 1, 8))
-    return y, saves
+    return (out[-1], out[0] if saves else None)
 
 
 def _fwd_rule(x, w1e, w2e, w3e, sc8, pad_mode, interpret):
-    y, saves = _fwd_impl(x, w1e, w2e, w3e, sc8, pad_mode, interpret)
+    y, saves = _fwd_impl(x, w1e, w2e, w3e, sc8, pad_mode, interpret, saves=True)
     return y, (saves, w1e, w2e, w3e, sc8)
 
 
