@@ -258,12 +258,59 @@ def test_stack_kernel():
               0.05 * max(gscale, 1.0), scale=gscale)
 
 
+def test_stack_streaming():
+    """Streaming-io stack megakernel (HBM ANY refs + explicit DMA — the
+    512-res big-stack path) vs the resident-io kernel, incl. the zero-weight
+    lane-padding path (c8=16 → 128 lanes)."""
+    from vqvae3d_tpu.ops import stack_kernel as sk
+
+    cap = sk._MAX_VOLUME_BYTES
+    try:
+        for pad in ("wrap", "zeros"):
+            nb, c = 3, 2
+            blocks = _make_blocks(nb, c, 7)
+            rng = np.random.default_rng(8)
+            x = jnp.asarray(
+                rng.normal(size=(1, 16, 16, 8, 8 * c)) * 0.1, jnp.bfloat16
+            )
+            w1e, w2e, w3e, sc8 = _embed_blocks(blocks, x.dtype)
+
+            def fused(x):
+                return sk.preact_stack_fused(
+                    x, w1e, w2e, w3e, sc8, pad, False
+                )
+
+            sk._MAX_VOLUME_BYTES = 10**12  # resident reference
+            y_r = jax.jit(fused)(x)
+            g_r = jax.jit(
+                jax.grad(
+                    lambda x: jnp.sum(jnp.sin(fused(x).astype(jnp.float32)))
+                )
+            )(x)
+            sk._MAX_VOLUME_BYTES = 0  # force streaming
+            y_s = jax.jit(fused)(x)
+            g_s = jax.jit(
+                jax.grad(
+                    lambda x: jnp.sum(jnp.sin(fused(x).astype(jnp.float32)))
+                )
+            )(x)
+            check(
+                f"stack-streaming fwd pad={pad}", _maxdiff(y_s, y_r), 0.0
+            )
+            check(
+                f"stack-streaming grad pad={pad}", _maxdiff(g_s, g_r), 0.0
+            )
+    finally:
+        sk._MAX_VOLUME_BYTES = cap
+
+
 ALL = {
     "argmin": test_argmin,
     "flash": test_flash_attention,
     "chunked": test_chunked_attention,
     "fused_block": test_fused_block,
     "stack": test_stack_kernel,
+    "stack_streaming": test_stack_streaming,
 }
 
 

@@ -717,7 +717,9 @@ def apply_same_stack(
         # collectives ride the mesh for free).
         on_tpu = jax.default_backend() == "tpu" and jax.device_count() == 1
         folds = (
-            stack_kernel.stack_fold(x.shape, n_blocks, x.dtype)
+            stack_kernel.stack_fold(
+                x.shape, n_blocks, x.dtype, cb=stacked[0].shape[-1]
+            )
             if (enabled and on_tpu)
             else 0
         )

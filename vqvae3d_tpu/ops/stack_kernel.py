@@ -74,13 +74,23 @@ def _read_scalars(sc_ref, dt):
 
 
 # Depth-chunk size for every compute phase: all whole-volume math runs in
-# lax.fori_loop chunks of _CHUNK depth rows with the cross-phase values in
+# lax.fori_loop chunks of depth rows with the cross-phase values in
 # persistent VMEM scratch. A straight-line whole-volume formulation (or even
 # a python-unrolled chunking) lets Mosaic's scheduler interleave everything
 # and the register allocator spills ~100 MB of live volume-sized values to
 # scoped VMEM — past the 128 MB physical limit at the real 256-res shapes.
 # fori_loop bodies are hard scheduling barriers: live set = one chunk.
 _CHUNK = 8
+
+# Streaming-path chunk. The backward phases keep many fp32 chunk temps
+# live and Mosaic spills them to scoped VMEM; measured on v5e at the
+# 512-res level-0 geometries (256 lanes, scratches 85-87 MB), the spill
+# mass saturates near ~35-40 MB for chunk ≥ 4 regardless of row size
+# (chunk 4/5/8 all exceed the 128 MB physical VMEM; chunk 2 fits with
+# margin in both bf16 and f32). A fixed chunk of 2 keeps the per-chunk
+# dots MXU-sized (≥2·H·W rows) and is the only setting proven safe at the
+# shapes this path exists for.
+_STREAM_CHUNK = 2
 
 
 def _chunked(total: int, ch: int, fn, init):
@@ -116,33 +126,29 @@ def _fill_hw_pad_rows(pad_ref, a, z0, wrap: bool):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(
-    x_ref,  # (1, D, H, W, C8) input volume (fetched once per batch item)
+def _fwd_body(
+    xv,  # VMEM scratch (D+2, H, W, C8): resident activation + D-halo rows
+    pad_s,  # VMEM scratch (D+2, H+2, W+2, Cb8)
     w1_ref,  # (1, C8, Cb8)
     w2_ref,  # (1, 3, 3, 3, Cb8, Cb8)
     w3_ref,  # (1, Cb8, C8)
     sc_ref,  # (1, 1, 8) SMEM
-    save_ref,  # (1, 1, D, H, W, C8) block input, for backward — or None
-    y_ref,  # (1, D, H, W, C8) final output
-    xv,  # VMEM scratch (D+2, H, W, C8): resident activation + D-halo rows
-    pad_s,  # VMEM scratch (D+2, H+2, W+2, Cb8)
     *,
     wrap,
-    nb,
+    dt,
+    chunk=_CHUNK,
+    before_update=None,  # callback run after phase F1, before xv is written
 ):
+    """Apply ONE block to the resident activation in place (phases F1+F2).
+
+    The caller has already placed the block input in xv rows [1, D+1) and
+    handled saves/io; ``before_update`` lets the streaming wrapper fence its
+    save DMA (which reads xv) against F2's in-place writes."""
     i = pl.program_id(1)
     D = xv.shape[0] - 2
     H, W = xv.shape[1], xv.shape[2]
-    dt = x_ref.dtype
     cb8 = pad_s.shape[-1]
     f32 = jnp.float32
-
-    @pl.when(i == 0)
-    def _():
-        xv[1 : D + 1] = x_ref[0]
-
-    if save_ref is not None:
-        save_ref[0, 0] = xv[1 : D + 1]
 
     # depth halo rows (recomputed per block from the resident volume)
     if wrap:
@@ -173,7 +179,10 @@ def _fwd_kernel(
         _fill_hw_pad_rows(pad_s, a2, z0, wrap)
         return acc
 
-    _chunked(D + 2, _CHUNK, f1, 0)
+    _chunked(D + 2, chunk, f1, 0)
+
+    if before_update is not None:
+        before_update()
 
     # Phase F2 (owned rows [0, D)): k3 conv -> a3 -> 1×1×1 -> residual update
     def f2(z0, cs, acc):
@@ -194,14 +203,48 @@ def _fwd_kernel(
         xv[rows] = u3 * scale + b4 + xv[rows]
         return acc
 
-    _chunked(D, _CHUNK, f2, 0)
+    _chunked(D, chunk, f2, 0)
+
+
+def _fwd_kernel(
+    x_ref,  # (1, D, H, W, C8) input volume (fetched once per batch item)
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    sc_ref,
+    save_ref,  # (1, 1, D, H, W, C8) block input, for backward — or None
+    y_ref,  # (1, D, H, W, C8) final output
+    xv,
+    pad_s,
+    *,
+    wrap,
+    nb,
+    chunk=_CHUNK,
+):
+    i = pl.program_id(1)
+    D = xv.shape[0] - 2
+
+    @pl.when(i == 0)
+    def _():
+        xv[1 : D + 1] = x_ref[0]
+
+    if save_ref is not None:
+        save_ref[0, 0] = xv[1 : D + 1]
+
+    _fwd_body(
+        xv, pad_s, w1_ref, w2_ref, w3_ref, sc_ref,
+        wrap=wrap, dt=x_ref.dtype, chunk=chunk,
+    )
 
     @pl.when(i == nb - 1)
     def _():
         y_ref[0] = xv[1 : D + 1]
 
 
-def _fwd_kernel_nosave(x_ref, w1_ref, w2_ref, w3_ref, sc_ref, y_ref, xv, pad_s, *, wrap, nb):
+def _fwd_kernel_nosave(
+    x_ref, w1_ref, w2_ref, w3_ref, sc_ref, y_ref, xv, pad_s,
+    *, wrap, nb, chunk=_CHUNK,
+):
     """Primal-only forward: identical math, no per-block save outputs.
 
     The saves exist solely for the backward kernel; the primal path (eval,
@@ -210,8 +253,94 @@ def _fwd_kernel_nosave(x_ref, w1_ref, w2_ref, w3_ref, sc_ref, y_ref, xv, pad_s, 
     256-res stack."""
     _fwd_kernel(
         x_ref, w1_ref, w2_ref, w3_ref, sc_ref, None, y_ref, xv, pad_s,
-        wrap=wrap, nb=nb,
+        wrap=wrap, nb=nb, chunk=chunk,
     )
+
+
+def _fwd_kernel_streaming(
+    x_hbm,  # (B, D, H, W, C8p) in HBM (memory_space=ANY), lanes 128-aligned
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    sc_ref,
+    save_hbm,  # (NB, B, D+4, H, W, C8p) in HBM — or None (primal)
+    y_hbm,  # (B, D, H, W, C8p) in HBM
+    xv,
+    pad_s,
+    in_sem,
+    save_sem,
+    out_sem,
+    *,
+    wrap,
+    nb,
+    chunk=_CHUNK,
+):
+    """Streaming-io forward: identical math to _fwd_kernel, but the
+    volume-sized operands live in HBM and move via explicit DMAs instead of
+    double-buffered full-volume pipeline blocks. VMEM high-water drops from
+    ~5 volumes (x/y/saves × 2 buffers) to the resident activation + pad
+    scratch, lifting the residency cap to the 512-res level-0 stacks
+    (PERF.md). Two hardware constraints shape the layout (verified on v5e):
+
+      * a DMA'd HBM slice's lane (minor) dim must be a 128 multiple — the
+        wrapper pads C8 lanes up to C8p with zero weights rows/cols (the
+        tiled HBM layout is physically lane-padded anyway, so this costs
+        no real HBM);
+      * saves are stored WITH their 2-row depth halos (D+4 rows, wrap rows
+        materialized here) so the backward's per-chunk windows are single
+        contiguous static-size DMAs. In 'zeros' mode the halo rows are
+        left unwritten: phase A masks the halo rows' a2 to zero (a
+        jnp.where, so even NaN garbage is erased) and nothing else reads
+        them.
+    """
+    i = pl.program_id(1)
+    bi = pl.program_id(0)
+    D = xv.shape[0] - 2
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(x_hbm.at[bi], xv.at[pl.ds(1, D)], in_sem)
+        cp.start()
+        cp.wait()
+
+    if save_hbm is not None:
+        # overlap the save write-out with phase F1 (which only reads xv);
+        # the fence before F2's in-place writes is the before_update hook
+        copies = [
+            pltpu.make_async_copy(
+                xv.at[pl.ds(1, D)], save_hbm.at[i, bi, pl.ds(2, D)], save_sem
+            )
+        ]
+        if wrap:
+            # 2-row depth halos from the interior (xv row r+1 = input row r)
+            for dst, src in ((0, D - 2), (1, D - 1), (D + 2, 0), (D + 3, 1)):
+                copies.append(
+                    pltpu.make_async_copy(
+                        xv.at[pl.ds(src + 1, 1)],
+                        save_hbm.at[i, bi, pl.ds(dst, 1)],
+                        save_sem,
+                    )
+                )
+        for cp in copies:
+            cp.start()
+
+        def fence():
+            for cp in copies:
+                cp.wait()
+
+    else:
+        fence = None
+
+    _fwd_body(
+        xv, pad_s, w1_ref, w2_ref, w3_ref, sc_ref,
+        wrap=wrap, dt=x_hbm.dtype, chunk=chunk, before_update=fence,
+    )
+
+    @pl.when(i == nb - 1)
+    def _():
+        cp = pltpu.make_async_copy(xv.at[pl.ds(1, D)], y_hbm.at[bi], out_sem)
+        cp.start()
+        cp.wait()
 
 
 # ---------------------------------------------------------------------------
@@ -219,51 +348,58 @@ def _fwd_kernel_nosave(x_ref, w1_ref, w2_ref, w3_ref, sc_ref, y_ref, xv, pad_s, 
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(
-    x_ref,  # (1, 1, D, H, W, C8): saved input of block j = nb-1-i
-    gy_ref,  # (1, D, H, W, C8): incoming cotangent (fetched once per batch)
+def _fwd_kernel_streaming_nosave(
+    x_hbm, w1_ref, w2_ref, w3_ref, sc_ref, y_hbm, xv, pad_s,
+    in_sem, save_sem, out_sem, *, wrap, nb, chunk=_CHUNK,
+):
+    """Primal-only streaming forward (no per-block saves — see
+    _fwd_kernel_nosave)."""
+    _fwd_kernel_streaming(
+        x_hbm, w1_ref, w2_ref, w3_ref, sc_ref, None, y_hbm, xv, pad_s,
+        in_sem, save_sem, out_sem, wrap=wrap, nb=nb, chunk=chunk,
+    )
+
+
+def _bwd_body(
     w1_ref,
     w2_ref,
     w3_ref,
     sc_ref,
-    dx_ref,  # (1, D, H, W, C8)
     dw1_ref,  # (1, 1, C8, Cb8) f32, per-block
     dw2_ref,  # (1, 1, 3, 3, 3, Cb8, Cb8) f32, per-block
     dw3_ref,  # (1, 1, Cb8, C8) f32, per-block
     dsc_ref,  # (1, 1, 1, 8) f32, per-block
-    xs,  # VMEM scratch (D+4, H, W, C8): block input + 2-row D-halo
+    read_x,  # read_x(z0, cs) -> (cs, H, W, C8) rows of the HALOED saved
+    #          input (xs-space: rows [0, D+4), interior at [2, D+2))
     gv,  # VMEM scratch (D+2, H, W, C8): resident cotangent + D-halo rows
-    u1s,  # VMEM scratch (D+4, H, W, Cb8): recomputed conv1 output
     pad2_s,  # VMEM scratch (D+4, H+2, W+2, Cb8): HW-padded a2
-    gu2cs,  # VMEM scratch (D+2, H, W, Cb8): cotangent of the k3 conv output
     gpad_s,  # VMEM scratch (D+2, H+2, W+2, Cb8): HW-padded g_u2c
     *,
     wrap,
-    nb,
+    dt,
+    chunk=_CHUNK,
 ):
+    """Backward for ONE block: the caller provides the haloed saved block
+    input through ``read_x`` and has placed the running cotangent in gv
+    rows [1, D+1); phases A–C update gv in place and write this block's
+    weight grads.
+
+    VMEM note: earlier revisions kept two more full-volume scratches (u1s —
+    conv1 recompute cache — and gu2cs, the unpadded copy of gpad_s's
+    interior). Both are gone so the streaming variant fits: phase C
+    recomputes u1 from its xc chunk (one extra (cs,·)·(C8,Cb8) dot per
+    chunk) and reads g_u2c as gpad_s's interior."""
     i = pl.program_id(1)
     D = gv.shape[0] - 2
     H, W = gv.shape[1], gv.shape[2]
-    dt = gy_ref.dtype
-    c8 = xs.shape[-1]
-    cb8 = u1s.shape[-1]
+    c8 = gv.shape[-1]
+    cb8 = pad2_s.shape[-1]
     f32 = jnp.float32
 
-    @pl.when(i == 0)
-    def _():
-        gv[1 : D + 1] = gy_ref[0]
-
-    xs[2 : D + 2] = x_ref[0, 0]
     if wrap:
-        xs[0] = xs[D]
-        xs[1] = xs[D + 1]
-        xs[D + 2] = xs[2]
-        xs[D + 3] = xs[3]
         gv[0] = gv[D]
         gv[D + 1] = gv[1]
     else:
-        for r in (0, 1, D + 2, D + 3):
-            xs[r] = jnp.zeros_like(xs[r])
         gv[0] = jnp.zeros_like(gv[0])
         gv[D + 1] = jnp.zeros_like(gv[D + 1])
 
@@ -283,12 +419,11 @@ def _bwd_kernel(
             preferred_element_type=f32,
         )
 
-    # --- Phase A (xs rows [0, D+4)): recompute a1 -> u1s, a2 -> pad2_s
+    # --- Phase A (xs rows [0, D+4)): recompute a1 -> a2 -> pad2_s
     def phase_a(z0, cs, acc):
-        xc = xs[pl.ds(z0, cs)]
+        xc = read_x(z0, cs)
         a1 = _elu(xc + b1a) + b1b
         u1 = _dot_last(a1, w1_ref[0], dt)
-        u1s[pl.ds(z0, cs)] = u1
         a2 = _elu(u1 + b2a) + b2b
         if not wrap:
             # 'zeros' pads a2 (the conv input), not x — mask the halo rows
@@ -298,7 +433,7 @@ def _bwd_kernel(
         _fill_hw_pad_rows(pad2_s, a2, z0, wrap)
         return acc
 
-    _chunked(D + 4, _CHUNK, phase_a, 0)
+    _chunked(D + 4, chunk, phase_a, 0)
 
     # --- Phase B (g rows [0, D+2)): u2c -> g_u2c -> gu2cs/gpad_s, plus the
     # owned-row reductions (dw3 and the late scalar grads), masked by global
@@ -317,7 +452,6 @@ def _bwd_kernel(
         g_u3 = g * scale
         g_a3 = _dot_last_t(g_u3, w3_ref[0], dt)
         g_u2c = g_a3 * _elu_grad(u2c + b3a)
-        gu2cs[pl.ds(z0, cs)] = g_u2c
         _fill_hw_pad_rows(gpad_s, g_u2c, z0, wrap)
 
         row = jax.lax.broadcasted_iota(jnp.int32, (cs, H, W, 1), 0) + z0
@@ -334,7 +468,7 @@ def _bwd_kernel(
     zero = jnp.zeros((), f32)
     dw3a, d_scale, d_b4, d_b3a, d_b3b = _chunked(
         D + 2,
-        _CHUNK,
+        chunk,
         phase_b,
         (jnp.zeros((cb8, c8), f32), zero, zero, zero, zero),
     )
@@ -355,16 +489,17 @@ def _bwd_kernel(
                     ]
                     ga2acc += dot_w2(v, w2_ref[0, dz, dy, dx], True)
         g_a2 = ga2acc.astype(dt)  # (cs, H, W, Cb8)
-        xc = xs[pl.ds(z0 + 2, cs)]  # owned xs rows
-        u1c = u1s[pl.ds(z0 + 2, cs)]
+        xc = read_x(z0 + 2, cs)  # owned xs rows
+        a1c = _elu(xc + b1a) + b1b
+        u1c = _dot_last(a1c, w1_ref[0], dt)  # recomputed (u1s scratch gone)
         g_u1 = g_a2 * _elu_grad(u1c + b2a)
         g_a1 = _dot_last_t(g_u1, w1_ref[0], dt)
-        a1c = _elu(xc + b1a) + b1b
         g_xc = g_a1 * _elu_grad(xc + b1a)
         rows = pl.ds(z0 + 1, cs)
         gv[rows] = gv[rows] + g_xc
 
-        guc = gu2cs[pl.ds(z0 + 1, cs)]  # owned g_u2c rows
+        # owned g_u2c rows = gpad_s interior (gu2cs scratch gone)
+        guc = gpad_s[pl.ds(z0 + 1, cs), 1 : H + 1, 1 : W + 1, :]
         taps = []
         for dz in range(3):
             for dy in range(3):
@@ -384,7 +519,7 @@ def _bwd_kernel(
 
     dw1a, dw2a, d_b1a, d_b1b, d_b2a, d_b2b = _chunked(
         D,
-        _CHUNK,
+        chunk,
         phase_c,
         (
             jnp.zeros((c8, cb8), f32),
@@ -403,14 +538,155 @@ def _bwd_kernel(
         [d_b1a, d_b1b, d_b2a, d_b2b, d_b3a, d_b3b, d_b4, d_scale]
     )
 
+
+def _bwd_kernel(
+    x_ref,  # (1, 1, D, H, W, C8): saved input of block j = nb-1-i
+    gy_ref,  # (1, D, H, W, C8): incoming cotangent (fetched once per batch)
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    sc_ref,
+    dx_ref,  # (1, D, H, W, C8)
+    dw1_ref,
+    dw2_ref,
+    dw3_ref,
+    dsc_ref,
+    xs,  # VMEM scratch (D+4, H, W, C8): block input + 2-row D-halo
+    gv,
+    pad2_s,
+    gpad_s,
+    *,
+    wrap,
+    nb,
+    chunk=_CHUNK,
+):
+    i = pl.program_id(1)
+    D = gv.shape[0] - 2
+
+    @pl.when(i == 0)
+    def _():
+        gv[1 : D + 1] = gy_ref[0]
+
+    xs[2 : D + 2] = x_ref[0, 0]
+    if wrap:
+        xs[0] = xs[D]
+        xs[1] = xs[D + 1]
+        xs[D + 2] = xs[2]
+        xs[D + 3] = xs[3]
+    else:
+        for r in (0, 1, D + 2, D + 3):
+            xs[r] = jnp.zeros_like(xs[r])
+
+    _bwd_body(
+        w1_ref, w2_ref, w3_ref, sc_ref,
+        dw1_ref, dw2_ref, dw3_ref, dsc_ref,
+        lambda z0, cs: xs[pl.ds(z0, cs)], gv, pad2_s, gpad_s,
+        wrap=wrap, dt=gy_ref.dtype, chunk=chunk,
+    )
+
     @pl.when(i == nb - 1)
     def _():
         dx_ref[0] = gv[1 : D + 1]
 
 
+def _bwd_kernel_streaming(
+    save_hbm,  # (NB, B, D, H, W, C8) in HBM (memory_space=ANY)
+    gy_hbm,  # (B, D, H, W, C8) in HBM
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    sc_ref,
+    dx_hbm,  # (B, D, H, W, C8p) in HBM
+    dw1_ref,
+    dw2_ref,
+    dw3_ref,
+    dsc_ref,
+    gv,
+    pad2_s,
+    gpad_s,
+    xw,  # VMEM scratch (_CHUNK, H, W, C8p): streamed saved-input window
+    gy_sem,
+    save_sem,
+    dx_sem,
+    *,
+    wrap,
+    nb,
+    chunk=_CHUNK,
+):
+    """Streaming-io backward (see _fwd_kernel_streaming): the cotangent and
+    conv-recompute scratches stay VMEM-resident; the volume-sized operands
+    stream from/to HBM by explicit DMA. The saved block input is NOT kept
+    resident — phases A and C pull it one depth-chunk window at a time
+    (``read_x``) from the haloed (D+4-row) save record, each window a
+    single contiguous static-size DMA."""
+    i = pl.program_id(1)
+    bi = pl.program_id(0)
+    D = gv.shape[0] - 2
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(gy_hbm.at[bi], gv.at[pl.ds(1, D)], gy_sem)
+        cp.start()
+        cp.wait()
+
+    def read_x(z0, cs):
+        cp = pltpu.make_async_copy(
+            save_hbm.at[nb - 1 - i, bi, pl.ds(z0, cs)],
+            xw.at[pl.ds(0, cs)],
+            save_sem,
+        )
+        cp.start()
+        cp.wait()
+        return xw[pl.ds(0, cs)]
+
+    _bwd_body(
+        w1_ref, w2_ref, w3_ref, sc_ref,
+        dw1_ref, dw2_ref, dw3_ref, dsc_ref,
+        read_x, gv, pad2_s, gpad_s,
+        wrap=wrap, dt=gy_hbm.dtype, chunk=chunk,
+    )
+
+    @pl.when(i == nb - 1)
+    def _():
+        cp = pltpu.make_async_copy(gv.at[pl.ds(1, D)], dx_hbm.at[bi], dx_sem)
+        cp.start()
+        cp.wait()
+
+
 # ---------------------------------------------------------------------------
 # Wrappers
 # ---------------------------------------------------------------------------
+
+
+def _rup(n: int, m: int = 128) -> int:
+    return -(-n // m) * m
+
+
+def _pad_axis(a, axis: int, target: int):
+    if a.shape[axis] == target:
+        return a
+    pads = [(0, 0)] * a.ndim
+    pads[axis] = (0, target - a.shape[axis])
+    return jnp.pad(a, pads)
+
+
+def _pad_lanes_fwd(x, w1e, w2e, w3e):
+    """Zero-weight lane padding for the streaming kernels: a DMA'd HBM
+    slice's minor dim must be a 128 multiple (verified on v5e: 144- and
+    16-lane copies are rejected by Mosaic, 128/256 succeed). Padding is
+    physically free — the tiled layout already rounds lanes up to 128 —
+    and exactly correct: padded weight rows/cols are zero, so garbage in
+    padded activation lanes (the residual's +b4 accumulates there) never
+    reaches a real lane, and every cotangent is zero in padded lanes."""
+    c8, cb8 = w1e.shape[1], w1e.shape[2]
+    c8p, cb8p = _rup(c8), _rup(cb8)
+    if (c8p, cb8p) == (c8, cb8):
+        return x, w1e, w2e, w3e
+    x = _pad_axis(x, -1, c8p)
+    w1e = _pad_axis(_pad_axis(w1e, 1, c8p), 2, cb8p)
+    w2e = _pad_axis(_pad_axis(w2e, 4, cb8p), 5, cb8p)
+    w3e = _pad_axis(_pad_axis(w3e, 1, cb8p), 2, c8p)
+    return x, w1e, w2e, w3e
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -430,45 +706,76 @@ def preact_stack_fused(x, w1e, w2e, w3e, sc8, pad_mode: str, interpret: bool):
 
 
 def _fwd_impl(x, w1e, w2e, w3e, sc8, pad_mode, interpret, saves):
+    wrap = pad_mode == "wrap"
+    streaming = _use_streaming(x.shape, x.dtype)
+    c8_out = x.shape[-1]
+    if streaming:
+        x, w1e, w2e, w3e = _pad_lanes_fwd(x, w1e, w2e, w3e)
     b, d, h, w, c8 = x.shape
     nb, _, cb8 = w1e.shape
-    wrap = pad_mode == "wrap"
-    if saves:
-        kern = functools.partial(_fwd_kernel, wrap=wrap, nb=nb)
-        out_specs = [
-            pl.BlockSpec((1, 1, d, h, w, c8), lambda bi, i: (i, bi, 0, 0, 0, 0)),
-            pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0)),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((nb, b, d, h, w, c8), x.dtype),
-            jax.ShapeDtypeStruct((b, d, h, w, c8), x.dtype),
-        ]
+    chunk = _STREAM_CHUNK if streaming else _CHUNK
+    weight_specs = [
+        pl.BlockSpec((1, c8, cb8), lambda bi, i: (i, 0, 0)),
+        pl.BlockSpec((1, 3, 3, 3, cb8, cb8), lambda bi, i: (i, 0, 0, 0, 0, 0)),
+        pl.BlockSpec((1, cb8, c8), lambda bi, i: (i, 0, 0)),
+        pl.BlockSpec((1, 1, 8), lambda bi, i: (i, 0, 0), memory_space=pltpu.SMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((d + 2, h, w, c8), x.dtype),
+        pltpu.VMEM((d + 2, h + 2, w + 2, cb8), x.dtype),
+    ]
+    if streaming:
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        kern = functools.partial(
+            _fwd_kernel_streaming if saves else _fwd_kernel_streaming_nosave,
+            wrap=wrap,
+            nb=nb,
+            chunk=chunk,
+        )
+        # saves carry their 2-row depth halos (D+4 rows) so the backward's
+        # per-chunk windows are single contiguous DMAs
+        out_specs = ([any_spec] if saves else []) + [any_spec]
+        out_shape = (
+            [jax.ShapeDtypeStruct((nb, b, d + 4, h, w, c8), x.dtype)]
+            if saves
+            else []
+        ) + [jax.ShapeDtypeStruct((b, d, h, w, c8), x.dtype)]
+        scratch = scratch + [pltpu.SemaphoreType.DMA] * 3
+        in_specs = [any_spec] + weight_specs
     else:
-        kern = functools.partial(_fwd_kernel_nosave, wrap=wrap, nb=nb)
-        out_specs = [pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0))]
-        out_shape = [jax.ShapeDtypeStruct((b, d, h, w, c8), x.dtype)]
+        if saves:
+            kern = functools.partial(_fwd_kernel, wrap=wrap, nb=nb, chunk=chunk)
+            out_specs = [
+                pl.BlockSpec((1, 1, d, h, w, c8), lambda bi, i: (i, bi, 0, 0, 0, 0)),
+                pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0)),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((nb, b, d, h, w, c8), x.dtype),
+                jax.ShapeDtypeStruct((b, d, h, w, c8), x.dtype),
+            ]
+        else:
+            kern = functools.partial(
+                _fwd_kernel_nosave, wrap=wrap, nb=nb, chunk=chunk
+            )
+            out_specs = [
+                pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0))
+            ]
+            out_shape = [jax.ShapeDtypeStruct((b, d, h, w, c8), x.dtype)]
+        in_specs = [
+            pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0))
+        ] + weight_specs
     out = pl.pallas_call(
         kern,
         grid=(b, nb),
-        in_specs=[
-            pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0)),
-            pl.BlockSpec((1, c8, cb8), lambda bi, i: (i, 0, 0)),
-            pl.BlockSpec((1, 3, 3, 3, cb8, cb8), lambda bi, i: (i, 0, 0, 0, 0, 0)),
-            pl.BlockSpec((1, cb8, c8), lambda bi, i: (i, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, 8), lambda bi, i: (i, 0, 0), memory_space=pltpu.SMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((d + 2, h, w, c8), x.dtype),
-            pltpu.VMEM((d + 2, h + 2, w + 2, cb8), x.dtype),
-        ],
+        scratch_shapes=scratch,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(x, w1e, w2e, w3e, sc8.astype(jnp.float32).reshape(nb, 1, 8))
-    return (out[-1], out[0] if saves else None)
+    y = out[-1][..., :c8_out] if c8_out != c8 else out[-1]
+    return (y, out[0] if saves else None)
 
 
 def _fwd_rule(x, w1e, w2e, w3e, sc8, pad_mode, interpret):
@@ -478,61 +785,90 @@ def _fwd_rule(x, w1e, w2e, w3e, sc8, pad_mode, interpret):
 
 def _bwd_rule(pad_mode, interpret, res, gy):
     saves, w1e, w2e, w3e, sc8 = res
-    nb, b, d, h, w, c8 = saves.shape
-    cb8 = w1e.shape[-1]
+    d = gy.shape[1]
+    c8_out, cb8_out = gy.shape[-1], w1e.shape[-1]
     wrap = pad_mode == "wrap"
-    dx, dw1, dw2, dw3, dsc = pl.pallas_call(
-        functools.partial(_bwd_kernel, wrap=wrap, nb=nb),
-        grid=(b, nb),
-        in_specs=[
+    # the forward's choice is encoded in the saves shape: streaming saves
+    # carry their 2-row depth halos (D+4 rows)
+    streaming = saves.shape[2] == d + 4
+    if streaming:
+        gy, w1e, w2e, w3e = _pad_lanes_fwd(gy, w1e, w2e, w3e)
+    nb, b, _, h, w, c8 = saves.shape
+    cb8 = w1e.shape[-1]
+    chunk = _STREAM_CHUNK if streaming else _CHUNK
+    weight_specs = [
+        pl.BlockSpec((1, c8, cb8), lambda bi, i: (nb - 1 - i, 0, 0)),
+        pl.BlockSpec(
+            (1, 3, 3, 3, cb8, cb8), lambda bi, i: (nb - 1 - i, 0, 0, 0, 0, 0)
+        ),
+        pl.BlockSpec((1, cb8, c8), lambda bi, i: (nb - 1 - i, 0, 0)),
+        pl.BlockSpec(
+            (1, 1, 8), lambda bi, i: (nb - 1 - i, 0, 0), memory_space=pltpu.SMEM
+        ),
+    ]
+    dw_out_specs = [
+        pl.BlockSpec((1, 1, c8, cb8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
+        pl.BlockSpec(
+            (1, 1, 3, 3, 3, cb8, cb8),
+            lambda bi, i: (bi, nb - 1 - i, 0, 0, 0, 0, 0),
+        ),
+        pl.BlockSpec((1, 1, cb8, c8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
+        pl.BlockSpec((1, 1, 1, 8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
+    ]
+    dw_out_shape = [
+        jax.ShapeDtypeStruct((b, nb, c8, cb8), jnp.float32),
+        jax.ShapeDtypeStruct((b, nb, 3, 3, 3, cb8, cb8), jnp.float32),
+        jax.ShapeDtypeStruct((b, nb, cb8, c8), jnp.float32),
+        jax.ShapeDtypeStruct((b, nb, 1, 8), jnp.float32),
+    ]
+    body_scratch = [
+        pltpu.VMEM((d + 2, h, w, c8), gy.dtype),  # gv
+        pltpu.VMEM((d + 4, h + 2, w + 2, cb8), gy.dtype),  # pad2_s
+        pltpu.VMEM((d + 2, h + 2, w + 2, cb8), gy.dtype),  # gpad_s
+    ]
+    if streaming:
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        kern = functools.partial(
+            _bwd_kernel_streaming, wrap=wrap, nb=nb, chunk=chunk
+        )
+        in_specs = [any_spec, any_spec] + weight_specs
+        out_specs = [any_spec] + dw_out_specs
+        scratch = body_scratch + [
+            pltpu.VMEM((chunk, h, w, c8), gy.dtype),  # xw
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kern = functools.partial(_bwd_kernel, wrap=wrap, nb=nb, chunk=chunk)
+        in_specs = [
             pl.BlockSpec(
                 (1, 1, d, h, w, c8), lambda bi, i: (nb - 1 - i, bi, 0, 0, 0, 0)
             ),
             pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0)),
-            pl.BlockSpec((1, c8, cb8), lambda bi, i: (nb - 1 - i, 0, 0)),
-            pl.BlockSpec(
-                (1, 3, 3, 3, cb8, cb8), lambda bi, i: (nb - 1 - i, 0, 0, 0, 0, 0)
-            ),
-            pl.BlockSpec((1, cb8, c8), lambda bi, i: (nb - 1 - i, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, 8),
-                lambda bi, i: (nb - 1 - i, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 1, c8, cb8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, 3, 3, 3, cb8, cb8),
-                lambda bi, i: (bi, nb - 1 - i, 0, 0, 0, 0, 0),
-            ),
-            pl.BlockSpec((1, 1, cb8, c8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, d, h, w, c8), gy.dtype),
-            jax.ShapeDtypeStruct((b, nb, c8, cb8), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, 3, 3, 3, cb8, cb8), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, cb8, c8), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, 1, 8), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((d + 4, h, w, c8), gy.dtype),  # xs
-            pltpu.VMEM((d + 2, h, w, c8), gy.dtype),  # gv
-            pltpu.VMEM((d + 4, h, w, cb8), gy.dtype),  # u1s
-            pltpu.VMEM((d + 4, h + 2, w + 2, cb8), gy.dtype),  # pad2_s
-            pltpu.VMEM((d + 2, h, w, cb8), gy.dtype),  # gu2cs
-            pltpu.VMEM((d + 2, h + 2, w + 2, cb8), gy.dtype),  # gpad_s
-        ],
+        ] + weight_specs
+        out_specs = [
+            pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0))
+        ] + dw_out_specs
+        scratch = [
+            pltpu.VMEM((d + 4, h, w, c8), gy.dtype)  # xs
+        ] + body_scratch
+    dx, dw1, dw2, dw3, dsc = pl.pallas_call(
+        kern,
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((b, d, h, w, c8), gy.dtype)]
+        + dw_out_shape,
+        scratch_shapes=scratch,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(saves, gy, w1e, w2e, w3e, sc8.astype(jnp.float32).reshape(nb, 1, 8))
     return (
-        dx,
-        dw1.sum(axis=0).astype(w1e.dtype),
-        dw2.sum(axis=0).astype(w2e.dtype),
-        dw3.sum(axis=0).astype(w3e.dtype),
+        dx[..., :c8_out],
+        dw1.sum(axis=0)[:, :c8_out, :cb8_out].astype(w1e.dtype),
+        dw2.sum(axis=0)[..., :cb8_out, :cb8_out].astype(w2e.dtype),
+        dw3.sum(axis=0)[:, :cb8_out, :c8_out].astype(w3e.dtype),
         dsc.sum(axis=0).reshape(nb, 8).astype(sc8.dtype),
     )
 
@@ -540,25 +876,53 @@ def _bwd_rule(pad_mode, interpret, res, gy):
 preact_stack_fused.defvjp(_fwd_rule, _bwd_rule)
 
 
-# Volume cap: every full-volume VMEM buffer (resident activation + recompute
-# intermediates + io blocks) must fit comfortably. 8 MB bf16 volumes peak
-# around ~90 MB of VMEM in the backward kernel — inside the scoped limit
-# (_COMPILER_PARAMS). The 512-res level-0 stack (18.9 MB) would need
-# D-chunked io; it stays on the per-block paths.
+# Volume caps. Resident io (blocked full-volume operands, auto
+# double-buffered by the pipeline): every full-volume VMEM buffer must fit
+# comfortably — 8 MB bf16 volumes peak around ~90 MB in the backward
+# kernel. Above that, the STREAMING kernels drop the io double-buffers
+# (HBM ANY refs + explicit DMA) so only the resident activation and the
+# recompute scratches count; the gate estimates the backward high-water
+# (gv + pad2_s + gpad_s + chunk temps) from the PHYSICAL (lane-padded)
+# sizes and admits stacks that fit the scoped limit — in particular the
+# 512-res level-0 stacks ((64,64,16)×144→256 lanes ⇒ gv 34.6 MB +
+# pads 2×20.7 MB ≈ 92 MB with temps, PERF.md). Beyond that the stacks
+# stay on the XLA paths.
 _MAX_VOLUME_BYTES = 8 * 1024 * 1024
+_STREAM_SCRATCH_CAP = 88 * 1024 * 1024  # 128 MB − chunk-2 spill/io allowance
 
 
-def stack_fold(shape, n_blocks: int, dtype) -> int:
+def _use_streaming(shape, dtype) -> bool:
+    b, d, h, w, c8 = shape
+    return d * h * w * c8 * jnp.dtype(dtype).itemsize > _MAX_VOLUME_BYTES
+
+
+def _stream_fits(d, h, w, c8, cb8, itemsize) -> bool:
+    """Gate for the streaming kernels: the resident backward scratches (at
+    physical sizes — lanes round to 128, sublanes to 8) must leave room for
+    the measured chunk-2 spill/io allowance (_STREAM_SCRATCH_CAP; scratches
+    of 85-87 MB are proven to fit on v5e, see _STREAM_CHUNK)."""
+    c8p, cb8p = _rup(c8), _rup(cb8)
+    scratch = (
+        (d + 2) * h * _rup(w, 8) * c8p * itemsize
+        + (d + 4) * (h + 2) * _rup(w + 2, 8) * cb8p * itemsize
+        + (d + 2) * (h + 2) * _rup(w + 2, 8) * cb8p * itemsize
+    )
+    return scratch <= _STREAM_SCRATCH_CAP
+
+
+def stack_fold(shape, n_blocks: int, dtype, cb: int | None = None) -> int:
     """How many space-to-depth folds to apply before running the stack
     megakernel on an NDHWC activation — 0 = unsupported (stay on the
-    XLA paths).
+    XLA paths). ``cb`` is the blocks' bottleneck width (defaults to the
+    architecture's C/2), used to size the VMEM estimate.
 
     Fold choice targets dense MXU lanes: 2 folds map C ≤ 4 stacks to
     64·C ∈ {64, 128, 256} lanes (the 256-res C=2 stack: 16 padded lanes
     → 128 dense), 1 fold maps C ≤ 32 to 8·C. Each fold is an exact
     weight-space rewrite (ops/s2d_conv.py) costing 8× w2 FLOPs — noise at
-    these widths. Gating is VMEM capacity, even dims, and ≥2 blocks
-    (single blocks don't amortize the volume load/store).
+    these widths. Gating is VMEM capacity (resident-io up to 8 MB volumes,
+    streaming-io up to the _stream_fits estimate), even dims, and ≥2
+    blocks (single blocks don't amortize the volume load/store).
 
     Default-on for real single-device TPU (VQVAE3D_STACK_KERNEL=0 opts
     out). Measured v5e, 150-block 256-res C=18 stack: 17.9 ms forward,
@@ -569,25 +933,33 @@ def stack_fold(shape, n_blocks: int, dtype) -> int:
     if len(shape) != 5 or n_blocks < 2:
         return 0
     _, d, h, w, c = shape
-    if d * h * w * c * jnp.dtype(dtype).itemsize > _MAX_VOLUME_BYTES:
-        return 0
+    itemsize = jnp.dtype(dtype).itemsize
     folds = 2 if c <= 4 else (1 if c <= 32 else 0)
     for k in range(folds, 0, -1):
         s = 2**k
-        if d % s == 0 and h % s == 0 and w % s == 0 and min(d, h, w) > s:
+        if d % s or h % s or w % s or min(d, h, w) <= s:
+            continue
+        df, hf, wf = d // s, h // s, w // s
+        c8 = c * s**3
+        cb8 = max(cb if cb is not None else c // 2, 1) * s**3
+        if df * hf * wf * c8 * itemsize <= _MAX_VOLUME_BYTES:
+            return k  # resident-io path (measured ≤ ~90 MB peak)
+        if _stream_fits(df, hf, wf, c8, cb8, itemsize):
             return k
     return 0
 
 
-def stack_fused_supported(shape, dtype) -> bool:
+def stack_fused_supported(shape, dtype, cb8: int | None = None) -> bool:
     """Gate for an ALREADY-FOLDED (B, D, H, W, C8) block-space activation:
-    small enough for the whole volume (plus halos and fp32 accumulators)
-    to stay VMEM-resident. See stack_fold for the NDHWC-level policy."""
+    fits either the resident-io or the streaming-io kernel's VMEM budget.
+    See stack_fold for the NDHWC-level policy."""
     if os.environ.get("VQVAE3D_STACK_KERNEL", "1") == "0":
         return False
     _, d, h, w, c8 = shape
     itemsize = jnp.dtype(dtype).itemsize
-    return d * h * w * c8 * itemsize <= _MAX_VOLUME_BYTES
+    if d * h * w * c8 * itemsize <= _MAX_VOLUME_BYTES:
+        return True
+    return _stream_fits(d, h, w, c8, cb8 if cb8 is not None else c8, itemsize)
 
 
 __all__ = ["preact_stack_fused", "stack_fused_supported", "stack_fold"]
