@@ -196,3 +196,43 @@ def test_streaming_grads_match_scan(force_streaming, pad_mode):
         jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_fus)
     ):
         np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4)
+
+
+@pytest.fixture
+def force_tiled(monkeypatch):
+    """Force the depth-tiled kernels (HBM ping-pong windows — the path for
+    volumes beyond the streaming kernel's scratch cap) on test-sized
+    volumes."""
+    from vqvae3d_tpu.ops import stack_kernel
+
+    monkeypatch.setattr(stack_kernel, "_FORCE_MODE", "tiled")
+
+
+@pytest.mark.parametrize("pad_mode", ["wrap", "zeros"])
+@pytest.mark.parametrize("nb,b,d,h,w,c", [(3, 1, 8, 6, 4, 2), (2, 2, 4, 4, 4, 1)])
+def test_tiled_fwd_matches_scan(force_tiled, pad_mode, nb, b, d, h, w, c):
+    x, blocks = _make_stack(nb, b, d, h, w, c)
+    ref = _ref(x, blocks, pad_mode)
+    got = _fused(x, blocks, pad_mode)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("pad_mode", ["wrap", "zeros"])
+def test_tiled_grads_match_scan(force_tiled, pad_mode):
+    x, blocks = _make_stack(3, 2, 8, 6, 4, 2, seed=13)
+
+    def loss_ref(x, blocks):
+        return jnp.sum(jnp.sin(_ref(x, blocks, pad_mode)))
+
+    def loss_fused(x, blocks):
+        return jnp.sum(jnp.sin(_fused(x, blocks, pad_mode)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, blocks)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1))(x, blocks)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_fus)
+    ):
+        # scalar grads are whole-volume sums — compare relative to magnitude
+        np.testing.assert_allclose(
+            b, a, rtol=3e-4, atol=3e-4 * max(float(np.max(np.abs(a))), 1.0)
+        )

@@ -80,3 +80,52 @@ def test_stem_rejects_invalid_factor():
         VQVAEConfig(stem_space_to_depth=3)
     with pytest.raises(AssertionError):
         VQVAEConfig(stem_space_to_depth=8, n_blocks_per_bottleneck=2)
+
+
+@pytest.mark.parametrize("metric", ["huber", "mixture-nll"])
+def test_folded_loss_matches_unfolded(metric):
+    """The block-space (folded) train loss is exact: same loss, logs, and
+    gradients as the full-res formulation (the sums merely reassociate)."""
+    from vqvae3d_tpu.train.vqvae_train import vqvae_loss_fn
+
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=2,
+        num_embeddings=(8, 16),
+        base_network_channels=8,
+        stem_space_to_depth=2,
+        dtype=jnp.float32,
+        remat=False,
+        metric=metric,
+        n_mix=2 if metric == "mixture-nll" else 0,
+    )
+    model = VQVAE(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 16, 1))
+    variables = model.init(KEY, x, train=False)
+    params, quant = variables["params"], variables["quantizer"]
+    batch = {
+        "volume": x,
+        "num_valid_slices": jnp.array([16, 11], jnp.int32),
+    }
+
+    def run(folded):
+        def loss_of(p):
+            loss, (new_q, log, _) = vqvae_loss_fn(
+                model, p, quant, batch, train=True, folded=folded
+            )
+            return loss, (new_q, log)
+
+        (loss, (new_q, log)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(params)
+        return loss, new_q, log, grads
+
+    l0, q0, log0, g0 = run(False)
+    l1, q1, log1, g1 = run(True)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    assert set(log0) == set(log1)
+    for k in log0:
+        np.testing.assert_allclose(log1[k], log0[k], rtol=2e-4, atol=1e-6, err_msg=k)
+    for (a, b) in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=1e-6)
+    for (a, b) in zip(jax.tree.leaves(q0), jax.tree.leaves(q1)):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)

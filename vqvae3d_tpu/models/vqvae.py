@@ -217,7 +217,7 @@ class Encoder(nn.Module):
     config: VQVAEConfig
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, folded_io: bool = False):
         cfg = self.config
         nl = cfg.num_layers
         down_cls = _maybe_remat(DownBlock, cfg.remat, cfg.remat_policy)
@@ -231,7 +231,12 @@ class Encoder(nn.Module):
         )
         scan_on = cfg.scan_stacks and cfg.block_type == "pre-activation"
 
-        x = space_to_depth(x, cfg.stem_space_to_depth)
+        # folded_io: caller delivers x already in the stem's space-to-depth
+        # layout (the train step computes its loss there too, so the
+        # full-resolution volume — and its strided s2d/d2s relayout copies —
+        # never exist inside the step; see vqvae_train.vqvae_loss_fn).
+        if not folded_io:
+            x = space_to_depth(x, cfg.stem_space_to_depth)
         x = Conv3D(
             features=cfg.base_network_channels,
             kernel_size=1,
@@ -367,7 +372,7 @@ class Decoder(nn.Module):
     config: VQVAEConfig
 
     @nn.compact
-    def __call__(self, quantizations, train: bool = False):
+    def __call__(self, quantizations, train: bool = False, folded_io: bool = False):
         cfg = self.config
         nl = cfg.num_layers
         block_r = _maybe_remat(RESBLOCKS[cfg.block_type], cfg.remat, cfg.remat_policy)
@@ -450,7 +455,9 @@ class Decoder(nn.Module):
             dtype=cfg.dtype,
             name="out",
         )(out)
-        return depth_to_space(out, f)
+        # folded_io: leave the output in the stem's s2d layout (channel
+        # order (ph, pw, pd, head_ch) — what depth_to_space would unpack)
+        return out if folded_io else depth_to_space(out, f)
 
 
 class VQVAE(nn.Module):
@@ -465,17 +472,17 @@ class VQVAE(nn.Module):
         self.encoder = Encoder(self.config, name="encoder")
         self.decoder = Decoder(self.config, name="decoder")
 
-    def __call__(self, x, train: bool = False):
-        results = self.encode(x, train=train)
+    def __call__(self, x, train: bool = False, folded_io: bool = False):
+        results = self.encode(x, train=train, folded_io=folded_io)
         losses, quantizations, indices = zip(*results)
-        decoded = self.decode(quantizations, train=train)
+        decoded = self.decode(quantizations, train=train, folded_io=folded_io)
         return decoded, (losses, quantizations, indices)
 
-    def encode(self, x, train: bool = False):
-        return self.encoder(x, train=train)
+    def encode(self, x, train: bool = False, folded_io: bool = False):
+        return self.encoder(x, train=train, folded_io=folded_io)
 
-    def decode(self, quantizations, train: bool = False):
-        return self.decoder(quantizations, train=train)
+    def decode(self, quantizations, train: bool = False, folded_io: bool = False):
+        return self.decoder(quantizations, train=train, folded_io=folded_io)
 
 def embed_code(variables, level: int, indices: jax.Array) -> jax.Array:
     """Functional codebook lookup from a full VQVAE variable tree.

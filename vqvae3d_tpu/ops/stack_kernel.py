@@ -138,28 +138,43 @@ def _fwd_body(
     dt,
     chunk=_CHUNK,
     before_update=None,  # callback run after phase F1, before xv is written
+    fill_halos=True,  # False: caller DMA'd real neighbor rows into xv[0]/[T+1]
+    row0=0,  # global index of the first OWNED row (tiled mode)
+    total_d=None,  # global depth (defaults to the resident D)
+    first_step_pred=None,  # zeros-mode pad_s init predicate (tiled grids)
 ):
     """Apply ONE block to the resident activation in place (phases F1+F2).
 
-    The caller has already placed the block input in xv rows [1, D+1) and
+    The caller has already placed the block input in xv rows [1, T+1) and
     handled saves/io; ``before_update`` lets the streaming wrapper fence its
-    save DMA (which reads xv) against F2's in-place writes."""
+    save DMA (which reads xv) against F2's in-place writes. In tiled mode
+    (fill_halos=False) xv holds a T-row window of a total_d-row volume whose
+    halo rows the caller loaded; 'zeros' masking then keys on GLOBAL row
+    indices (row0 + local − 1 outside [0, total_d))."""
     i = pl.program_id(1)
-    D = xv.shape[0] - 2
+    D = xv.shape[0] - 2  # owned rows in this window (the full depth when
+    #                      resident/streaming; the tile size when tiled)
     H, W = xv.shape[1], xv.shape[2]
     cb8 = pad_s.shape[-1]
     f32 = jnp.float32
+    if total_d is None:
+        total_d = D
 
-    # depth halo rows (recomputed per block from the resident volume)
-    if wrap:
-        xv[0] = xv[D]
-        xv[D + 1] = xv[1]
-    else:
-        xv[0] = jnp.zeros_like(xv[0])
-        xv[D + 1] = jnp.zeros_like(xv[D + 1])
+    if fill_halos:
+        # depth halo rows (recomputed per block from the resident volume)
+        if wrap:
+            xv[0] = xv[D]
+            xv[D + 1] = xv[1]
+        else:
+            xv[0] = jnp.zeros_like(xv[0])
+            xv[D + 1] = jnp.zeros_like(xv[D + 1])
 
+    if not wrap:
         # only interiors are rewritten per step; borders must start zero
-        @pl.when(jnp.logical_and(i == 0, pl.program_id(0) == 0))
+        if first_step_pred is None:
+            first_step_pred = (i == 0) & (pl.program_id(0) == 0)
+
+        @pl.when(first_step_pred)
         def _():
             pad_s[:] = jnp.zeros_like(pad_s)
 
@@ -175,7 +190,8 @@ def _fwd_body(
             # 'zeros' pads a2 (the conv input), not x: the prelude maps the
             # x-halo's zero rows to a nonzero value — mask them out.
             row = jax.lax.broadcasted_iota(jnp.int32, a2.shape, 0) + z0
-            a2 = jnp.where((row == 0) | (row == D + 1), jnp.zeros_like(a2), a2)
+            g = row0 + row - 1  # global row of this xv row
+            a2 = jnp.where((g < 0) | (g >= total_d), jnp.zeros_like(a2), a2)
         _fill_hw_pad_rows(pad_s, a2, z0, wrap)
         return acc
 
@@ -378,11 +394,19 @@ def _bwd_body(
     wrap,
     dt,
     chunk=_CHUNK,
+    fill_halos=True,  # False: caller DMA'd real neighbor cotangent rows
+    row0=0,  # global index of the first OWNED row (tiled mode)
+    total_d=None,  # global depth (defaults to the resident D)
+    first_step_pred=None,  # zeros-mode pad init predicate (tiled grids)
+    accumulate_pred=None,  # tiled: None = overwrite dw outs; else add when
+    #                         the predicate is False (non-first tile)
 ):
     """Backward for ONE block: the caller provides the haloed saved block
     input through ``read_x`` and has placed the running cotangent in gv
     rows [1, D+1); phases A–C update gv in place and write this block's
-    weight grads.
+    weight grads. In tiled mode gv holds a T-row window with DMA'd halos,
+    ``read_x(z0, cs)`` spans xs-window rows [0, T+4), and the dw outputs
+    are revisited across tiles (``accumulate_pred`` = first-tile predicate).
 
     VMEM note: earlier revisions kept two more full-volume scratches (u1s —
     conv1 recompute cache — and gu2cs, the unpadded copy of gpad_s's
@@ -390,21 +414,28 @@ def _bwd_body(
     recomputes u1 from its xc chunk (one extra (cs,·)·(C8,Cb8) dot per
     chunk) and reads g_u2c as gpad_s's interior."""
     i = pl.program_id(1)
-    D = gv.shape[0] - 2
+    D = gv.shape[0] - 2  # owned rows in this window
     H, W = gv.shape[1], gv.shape[2]
     c8 = gv.shape[-1]
     cb8 = pad2_s.shape[-1]
     f32 = jnp.float32
+    if total_d is None:
+        total_d = D
 
-    if wrap:
-        gv[0] = gv[D]
-        gv[D + 1] = gv[1]
-    else:
-        gv[0] = jnp.zeros_like(gv[0])
-        gv[D + 1] = jnp.zeros_like(gv[D + 1])
+    if fill_halos:
+        if wrap:
+            gv[0] = gv[D]
+            gv[D + 1] = gv[1]
+        else:
+            gv[0] = jnp.zeros_like(gv[0])
+            gv[D + 1] = jnp.zeros_like(gv[D + 1])
 
+    if not wrap:
         # only the interiors are rewritten per step; borders must start zero
-        @pl.when(jnp.logical_and(i == 0, pl.program_id(0) == 0))
+        if first_step_pred is None:
+            first_step_pred = (i == 0) & (pl.program_id(0) == 0)
+
+        @pl.when(first_step_pred)
         def _():
             pad2_s[:] = jnp.zeros_like(pad2_s)
             gpad_s[:] = jnp.zeros_like(gpad_s)
@@ -429,7 +460,8 @@ def _bwd_body(
             # 'zeros' pads a2 (the conv input), not x — mask the halo rows
             # the pointwise prelude mapped away from zero.
             row = jax.lax.broadcasted_iota(jnp.int32, a2.shape, 0) + z0
-            a2 = jnp.where((row <= 1) | (row >= D + 2), jnp.zeros_like(a2), a2)
+            g = row0 + row - 2  # global x row of this xs-window row
+            a2 = jnp.where((g < 0) | (g >= total_d), jnp.zeros_like(a2), a2)
         _fill_hw_pad_rows(pad2_s, a2, z0, wrap)
         return acc
 
@@ -531,12 +563,29 @@ def _bwd_body(
         ),
     )
 
-    dw1_ref[0, 0] = dw1a
-    dw3_ref[0, 0] = dw3a
-    dw2_ref[0, 0] = dw2a.reshape(3, 3, 3, cb8, cb8)
-    dsc_ref[0, 0, 0] = jnp.stack(
-        [d_b1a, d_b1b, d_b2a, d_b2b, d_b3a, d_b3b, d_b4, d_scale]
-    )
+    dsc = jnp.stack([d_b1a, d_b1b, d_b2a, d_b2b, d_b3a, d_b3b, d_b4, d_scale])
+    dw2a = dw2a.reshape(3, 3, 3, cb8, cb8)
+    if accumulate_pred is None:
+        dw1_ref[0, 0] = dw1a
+        dw3_ref[0, 0] = dw3a
+        dw2_ref[0, 0] = dw2a
+        dsc_ref[0, 0, 0] = dsc
+    else:
+        # tiled: the dw output blocks are revisited across the tile sweep —
+        # initialize on the first tile, accumulate on the rest
+        @pl.when(accumulate_pred)
+        def _():
+            dw1_ref[0, 0] = dw1a
+            dw3_ref[0, 0] = dw3a
+            dw2_ref[0, 0] = dw2a
+            dsc_ref[0, 0, 0] = dsc
+
+        @pl.when(jnp.logical_not(accumulate_pred))
+        def _():
+            dw1_ref[0, 0] = dw1_ref[0, 0] + dw1a
+            dw3_ref[0, 0] = dw3_ref[0, 0] + dw3a
+            dw2_ref[0, 0] = dw2_ref[0, 0] + dw2a
+            dsc_ref[0, 0, 0] = dsc_ref[0, 0, 0] + dsc
 
 
 def _bwd_kernel(
@@ -654,6 +703,232 @@ def _bwd_kernel_streaming(
 
 
 # ---------------------------------------------------------------------------
+# Depth-tiled kernels: volumes too large for VMEM residency
+# ---------------------------------------------------------------------------
+#
+# The resident/streaming kernels keep the whole activation (or cotangent) in
+# a VMEM scratch across the block sweep — capped near ~88 MB of scratch. The
+# stem-level stacks of the 512-res config ((128,128,32)×64 lanes = 67 MB
+# volumes) exceed that, and profiled as ~78 ms of XLA scan time per 512-res
+# train step (PERF.md). The tiled kernels remove the cap entirely: grid =
+# (batch, block, depth-tile); each step DMAs a (T+2)-row window (with real
+# neighbor halo rows) from HBM, applies ONE block to the T owned rows, and
+# writes them back to an HBM ping-pong work buffer (block i reads the buffer
+# block i−1 wrote — the sequential Pallas grid makes every neighbor row of
+# the previous block available). Per-block HBM traffic is 3 volumes
+# (in + save + out) instead of the streaming kernel's 1 (save only), so the
+# resident/streaming variants stay preferred when they fit — tiled targets
+# SHALLOW stacks on huge volumes, where the XLA alternative pays far more in
+# lane-padded pad/slice/copy fusions.
+
+
+def _dma(src, dst, sem):
+    cp = pltpu.make_async_copy(src, dst, sem)
+    cp.start()
+    cp.wait()
+
+
+def _load_window(src, xv, t, nt, tile, halo, sem, wrap):
+    """DMA rows [t·tile − halo, t·tile + tile + halo) of ``src`` (D rows,
+    wrap/zeros boundary) into the (tile + 2·halo)-row window ``xv``."""
+    D = nt * tile
+    row0 = t * tile
+
+    @pl.when((t > 0) & (t < nt - 1))
+    def _():
+        _dma(src.at[pl.ds(row0 - halo, tile + 2 * halo)], xv, sem)
+
+    @pl.when((t == 0) & (nt > 1))
+    def _():
+        _dma(src.at[pl.ds(0, tile + halo)], xv.at[pl.ds(halo, tile + halo)], sem)
+        if wrap:
+            _dma(src.at[pl.ds(D - halo, halo)], xv.at[pl.ds(0, halo)], sem)
+        else:
+            xv[pl.ds(0, halo)] = jnp.zeros_like(xv[pl.ds(0, halo)])
+
+    @pl.when((t == nt - 1) & (nt > 1))
+    def _():
+        _dma(
+            src.at[pl.ds(row0 - halo, tile + halo)],
+            xv.at[pl.ds(0, tile + halo)],
+            sem,
+        )
+        if wrap:
+            _dma(src.at[pl.ds(0, halo)], xv.at[pl.ds(tile + halo, halo)], sem)
+        else:
+            xv[pl.ds(tile + halo, halo)] = jnp.zeros_like(
+                xv[pl.ds(tile + halo, halo)]
+            )
+
+
+def _fwd_kernel_tiled(
+    x_hbm,  # (B, D, H, W, C8p) in HBM
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    sc_ref,
+    save_hbm,  # (NB, B, D+4, H, W, C8p) in HBM — or None (primal)
+    y_hbm,  # (B, D, H, W, C8p) in HBM
+    wka_hbm,  # (D, H, W, C8p) ping buffer (written by even blocks)
+    wkb_hbm,  # (D, H, W, C8p) pong buffer (written by odd blocks)
+    xv,  # VMEM scratch (T+2, H, W, C8p)
+    pad_s,  # VMEM scratch (T+2, H+2, W+2, Cb8p)
+    in_sem,
+    save_sem,
+    out_sem,
+    *,
+    wrap,
+    nb,
+    nt,
+    tile,
+    chunk,
+):
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+    T = tile
+    D = nt * tile
+    row0 = t * T
+
+    @pl.when(i == 0)
+    def _():
+        _load_window(x_hbm.at[bi], xv, t, nt, T, 1, in_sem, wrap)
+
+    @pl.when((i > 0) & (i % 2 == 1))
+    def _():
+        _load_window(wka_hbm, xv, t, nt, T, 1, in_sem, wrap)
+
+    @pl.when((i > 0) & (i % 2 == 0))
+    def _():
+        _load_window(wkb_hbm, xv, t, nt, T, 1, in_sem, wrap)
+
+    if save_hbm is not None:
+        # owned rows into the (D+4)-row haloed record; the edge tiles also
+        # materialize the wrap halo rows (zeros mode leaves them unwritten —
+        # the backward's phase A masks them to zero by global row index)
+        _dma(
+            xv.at[pl.ds(1, T)],
+            save_hbm.at[i, bi, pl.ds(row0 + 2, T)],
+            save_sem,
+        )
+        if wrap:
+
+            @pl.when(t == 0)
+            def _():
+                _dma(xv.at[pl.ds(1, 2)], save_hbm.at[i, bi, pl.ds(D + 2, 2)], save_sem)
+
+            @pl.when(t == nt - 1)
+            def _():
+                _dma(xv.at[pl.ds(T - 1, 2)], save_hbm.at[i, bi, pl.ds(0, 2)], save_sem)
+
+    _fwd_body(
+        xv, pad_s, w1_ref, w2_ref, w3_ref, sc_ref,
+        wrap=wrap, dt=x_hbm.dtype, chunk=chunk,
+        fill_halos=False, row0=row0, total_d=D,
+        first_step_pred=(bi == 0) & (i == 0) & (t == 0),
+    )
+
+    # owned rows out: ping-pong buffer, or y on the last block
+    @pl.when(i == nb - 1)
+    def _():
+        _dma(xv.at[pl.ds(1, T)], y_hbm.at[bi, pl.ds(row0, T)], out_sem)
+
+    @pl.when((i < nb - 1) & (i % 2 == 0))
+    def _():
+        _dma(xv.at[pl.ds(1, T)], wka_hbm.at[pl.ds(row0, T)], out_sem)
+
+    @pl.when((i < nb - 1) & (i % 2 == 1))
+    def _():
+        _dma(xv.at[pl.ds(1, T)], wkb_hbm.at[pl.ds(row0, T)], out_sem)
+
+
+def _fwd_kernel_tiled_nosave(
+    x_hbm, w1_ref, w2_ref, w3_ref, sc_ref, y_hbm, wka_hbm, wkb_hbm,
+    xv, pad_s, in_sem, save_sem, out_sem, *, wrap, nb, nt, tile, chunk,
+):
+    _fwd_kernel_tiled(
+        x_hbm, w1_ref, w2_ref, w3_ref, sc_ref, None, y_hbm, wka_hbm, wkb_hbm,
+        xv, pad_s, in_sem, save_sem, out_sem,
+        wrap=wrap, nb=nb, nt=nt, tile=tile, chunk=chunk,
+    )
+
+
+def _bwd_kernel_tiled(
+    save_hbm,  # (NB, B, D+4, H, W, C8p) in HBM
+    gy_hbm,  # (B, D, H, W, C8p) in HBM
+    w1_ref,
+    w2_ref,
+    w3_ref,
+    sc_ref,
+    dx_hbm,  # (B, D, H, W, C8p) in HBM
+    dw1_ref,
+    dw2_ref,
+    dw3_ref,
+    dsc_ref,
+    wka_hbm,  # (D, H, W, C8p) ping buffer
+    wkb_hbm,  # (D, H, W, C8p) pong buffer
+    gv,  # VMEM scratch (T+2, H, W, C8p)
+    pad2_s,  # VMEM scratch (T+4, H+2, W+2, Cb8p)
+    gpad_s,  # VMEM scratch (T+2, H+2, W+2, Cb8p)
+    xs,  # VMEM scratch (T+4, H, W, C8p): the saved-input window
+    gy_sem,
+    save_sem,
+    dx_sem,
+    *,
+    wrap,
+    nb,
+    nt,
+    tile,
+    chunk,
+):
+    bi = pl.program_id(0)
+    i = pl.program_id(1)  # reverse block sweep: block j = nb - 1 - i
+    t = pl.program_id(2)
+    T = tile
+    D = nt * tile
+    row0 = t * T
+
+    @pl.when(i == 0)
+    def _():
+        _load_window(gy_hbm.at[bi], gv, t, nt, T, 1, gy_sem, wrap)
+
+    @pl.when((i > 0) & (i % 2 == 1))
+    def _():
+        _load_window(wka_hbm, gv, t, nt, T, 1, gy_sem, wrap)
+
+    @pl.when((i > 0) & (i % 2 == 0))
+    def _():
+        _load_window(wkb_hbm, gv, t, nt, T, 1, gy_sem, wrap)
+
+    # the saved-input window: xs rows [0, T+4) = record rows [row0, row0+T+4)
+    # (the record carries 2-row halos, so this is one contiguous DMA; in
+    # zeros mode out-of-range rows hold garbage that phase A masks away)
+    _dma(save_hbm.at[nb - 1 - i, bi, pl.ds(row0, T + 4)], xs, save_sem)
+
+    _bwd_body(
+        w1_ref, w2_ref, w3_ref, sc_ref,
+        dw1_ref, dw2_ref, dw3_ref, dsc_ref,
+        lambda z0, cs: xs[pl.ds(z0, cs)], gv, pad2_s, gpad_s,
+        wrap=wrap, dt=gy_hbm.dtype, chunk=chunk,
+        fill_halos=False, row0=row0, total_d=D,
+        first_step_pred=(bi == 0) & (i == 0) & (t == 0),
+        accumulate_pred=t == 0,
+    )
+
+    @pl.when(i == nb - 1)
+    def _():
+        _dma(gv.at[pl.ds(1, T)], dx_hbm.at[bi, pl.ds(row0, T)], dx_sem)
+
+    @pl.when((i < nb - 1) & (i % 2 == 0))
+    def _():
+        _dma(gv.at[pl.ds(1, T)], wka_hbm.at[pl.ds(row0, T)], dx_sem)
+
+    @pl.when((i < nb - 1) & (i % 2 == 1))
+    def _():
+        _dma(gv.at[pl.ds(1, T)], wkb_hbm.at[pl.ds(row0, T)], dx_sem)
+
+
+# ---------------------------------------------------------------------------
 # Wrappers
 # ---------------------------------------------------------------------------
 
@@ -707,24 +982,75 @@ def preact_stack_fused(x, w1e, w2e, w3e, sc8, pad_mode: str, interpret: bool):
 
 def _fwd_impl(x, w1e, w2e, w3e, sc8, pad_mode, interpret, saves):
     wrap = pad_mode == "wrap"
-    streaming = _use_streaming(x.shape, x.dtype)
+    mode = _kernel_mode(x.shape, x.dtype, w1e.shape[-1])
+    assert mode is not None, (x.shape, x.dtype)
     c8_out = x.shape[-1]
-    if streaming:
+    if mode != "resident":
         x, w1e, w2e, w3e = _pad_lanes_fwd(x, w1e, w2e, w3e)
     b, d, h, w, c8 = x.shape
     nb, _, cb8 = w1e.shape
-    chunk = _STREAM_CHUNK if streaming else _CHUNK
-    weight_specs = [
-        pl.BlockSpec((1, c8, cb8), lambda bi, i: (i, 0, 0)),
-        pl.BlockSpec((1, 3, 3, 3, cb8, cb8), lambda bi, i: (i, 0, 0, 0, 0, 0)),
-        pl.BlockSpec((1, cb8, c8), lambda bi, i: (i, 0, 0)),
-        pl.BlockSpec((1, 1, 8), lambda bi, i: (i, 0, 0), memory_space=pltpu.SMEM),
-    ]
+    chunk = _CHUNK if mode == "resident" else _STREAM_CHUNK
+    weight_specs_nd = {
+        2: lambda: [
+            pl.BlockSpec((1, c8, cb8), lambda bi, i: (i, 0, 0)),
+            pl.BlockSpec((1, 3, 3, 3, cb8, cb8), lambda bi, i: (i, 0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, cb8, c8), lambda bi, i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 8), lambda bi, i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        3: lambda: [
+            pl.BlockSpec((1, c8, cb8), lambda bi, i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 3, 3, 3, cb8, cb8), lambda bi, i, t: (i, 0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, cb8, c8), lambda bi, i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 8), lambda bi, i, t: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+    }
+    if mode == "tiled":
+        tile = _tile_rows(d, h, w, c8, cb8, jnp.dtype(x.dtype).itemsize)
+        nt = d // tile
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        kern = functools.partial(
+            _fwd_kernel_tiled if saves else _fwd_kernel_tiled_nosave,
+            wrap=wrap, nb=nb, nt=nt, tile=tile, chunk=chunk,
+        )
+        grid = (b, nb, nt)
+        in_specs = [any_spec] + weight_specs_nd[3]()
+        out_specs = ([any_spec] if saves else []) + [any_spec] * 3
+        out_shape = (
+            [jax.ShapeDtypeStruct((nb, b, d + 4, h, w, c8), x.dtype)]
+            if saves
+            else []
+        ) + [
+            jax.ShapeDtypeStruct((b, d, h, w, c8), x.dtype),  # y
+            jax.ShapeDtypeStruct((d, h, w, c8), x.dtype),  # ping
+            jax.ShapeDtypeStruct((d, h, w, c8), x.dtype),  # pong
+        ]
+        scratch = [
+            pltpu.VMEM((tile + 2, h, w, c8), x.dtype),
+            pltpu.VMEM((tile + 2, h + 2, w + 2, cb8), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(x, w1e, w2e, w3e, sc8.astype(jnp.float32).reshape(nb, 1, 8))
+        y = out[1] if saves else out[0]
+        y = y[..., :c8_out] if c8_out != c8 else y
+        return (y, out[0] if saves else None)
+
+    weight_specs = weight_specs_nd[2]()
     scratch = [
         pltpu.VMEM((d + 2, h, w, c8), x.dtype),
         pltpu.VMEM((d + 2, h + 2, w + 2, cb8), x.dtype),
     ]
-    if streaming:
+    if mode == "streaming":
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         kern = functools.partial(
             _fwd_kernel_streaming if saves else _fwd_kernel_streaming_nosave,
@@ -788,78 +1114,128 @@ def _bwd_rule(pad_mode, interpret, res, gy):
     d = gy.shape[1]
     c8_out, cb8_out = gy.shape[-1], w1e.shape[-1]
     wrap = pad_mode == "wrap"
-    # the forward's choice is encoded in the saves shape: streaming saves
-    # carry their 2-row depth halos (D+4 rows)
-    streaming = saves.shape[2] == d + 4
-    if streaming:
+    # recompute the forward's mode decision (pure function of the shapes)
+    mode = _kernel_mode(gy.shape, gy.dtype, w1e.shape[-1])
+    if mode != "resident":
         gy, w1e, w2e, w3e = _pad_lanes_fwd(gy, w1e, w2e, w3e)
     nb, b, _, h, w, c8 = saves.shape
     cb8 = w1e.shape[-1]
-    chunk = _STREAM_CHUNK if streaming else _CHUNK
-    weight_specs = [
-        pl.BlockSpec((1, c8, cb8), lambda bi, i: (nb - 1 - i, 0, 0)),
-        pl.BlockSpec(
-            (1, 3, 3, 3, cb8, cb8), lambda bi, i: (nb - 1 - i, 0, 0, 0, 0, 0)
-        ),
-        pl.BlockSpec((1, cb8, c8), lambda bi, i: (nb - 1 - i, 0, 0)),
-        pl.BlockSpec(
-            (1, 1, 8), lambda bi, i: (nb - 1 - i, 0, 0), memory_space=pltpu.SMEM
-        ),
-    ]
-    dw_out_specs = [
-        pl.BlockSpec((1, 1, c8, cb8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
-        pl.BlockSpec(
-            (1, 1, 3, 3, 3, cb8, cb8),
-            lambda bi, i: (bi, nb - 1 - i, 0, 0, 0, 0, 0),
-        ),
-        pl.BlockSpec((1, 1, cb8, c8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
-        pl.BlockSpec((1, 1, 1, 8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
-    ]
+    chunk = _CHUNK if mode == "resident" else _STREAM_CHUNK
+    if mode == "tiled":
+        weight_specs = [
+            pl.BlockSpec((1, c8, cb8), lambda bi, i, t: (nb - 1 - i, 0, 0)),
+            pl.BlockSpec(
+                (1, 3, 3, 3, cb8, cb8),
+                lambda bi, i, t: (nb - 1 - i, 0, 0, 0, 0, 0),
+            ),
+            pl.BlockSpec((1, cb8, c8), lambda bi, i, t: (nb - 1 - i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 8),
+                lambda bi, i, t: (nb - 1 - i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ]
+        dw_out_specs = [
+            pl.BlockSpec((1, 1, c8, cb8), lambda bi, i, t: (bi, nb - 1 - i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 3, 3, 3, cb8, cb8),
+                lambda bi, i, t: (bi, nb - 1 - i, 0, 0, 0, 0, 0),
+            ),
+            pl.BlockSpec((1, 1, cb8, c8), lambda bi, i, t: (bi, nb - 1 - i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 8), lambda bi, i, t: (bi, nb - 1 - i, 0, 0)),
+        ]
+    else:
+        weight_specs = [
+            pl.BlockSpec((1, c8, cb8), lambda bi, i: (nb - 1 - i, 0, 0)),
+            pl.BlockSpec(
+                (1, 3, 3, 3, cb8, cb8), lambda bi, i: (nb - 1 - i, 0, 0, 0, 0, 0)
+            ),
+            pl.BlockSpec((1, cb8, c8), lambda bi, i: (nb - 1 - i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 8), lambda bi, i: (nb - 1 - i, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ]
+        dw_out_specs = [
+            pl.BlockSpec((1, 1, c8, cb8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 3, 3, 3, cb8, cb8),
+                lambda bi, i: (bi, nb - 1 - i, 0, 0, 0, 0, 0),
+            ),
+            pl.BlockSpec((1, 1, cb8, c8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 8), lambda bi, i: (bi, nb - 1 - i, 0, 0)),
+        ]
     dw_out_shape = [
         jax.ShapeDtypeStruct((b, nb, c8, cb8), jnp.float32),
         jax.ShapeDtypeStruct((b, nb, 3, 3, 3, cb8, cb8), jnp.float32),
         jax.ShapeDtypeStruct((b, nb, cb8, c8), jnp.float32),
         jax.ShapeDtypeStruct((b, nb, 1, 8), jnp.float32),
     ]
-    body_scratch = [
-        pltpu.VMEM((d + 2, h, w, c8), gy.dtype),  # gv
-        pltpu.VMEM((d + 4, h + 2, w + 2, cb8), gy.dtype),  # pad2_s
-        pltpu.VMEM((d + 2, h + 2, w + 2, cb8), gy.dtype),  # gpad_s
-    ]
-    if streaming:
+    grid = (b, nb)
+    extra_out_shape = []
+    if mode == "tiled":
+        tile = _tile_rows(d, h, w, c8, cb8, jnp.dtype(gy.dtype).itemsize)
+        nt = d // tile
+        grid = (b, nb, nt)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         kern = functools.partial(
-            _bwd_kernel_streaming, wrap=wrap, nb=nb, chunk=chunk
+            _bwd_kernel_tiled, wrap=wrap, nb=nb, nt=nt, tile=tile, chunk=chunk
         )
         in_specs = [any_spec, any_spec] + weight_specs
-        out_specs = [any_spec] + dw_out_specs
-        scratch = body_scratch + [
-            pltpu.VMEM((chunk, h, w, c8), gy.dtype),  # xw
+        out_specs = [any_spec] + dw_out_specs + [any_spec, any_spec]
+        extra_out_shape = [
+            jax.ShapeDtypeStruct((d, h, w, c8), gy.dtype),  # ping
+            jax.ShapeDtypeStruct((d, h, w, c8), gy.dtype),  # pong
+        ]
+        scratch = [
+            pltpu.VMEM((tile + 2, h, w, c8), gy.dtype),  # gv
+            pltpu.VMEM((tile + 4, h + 2, w + 2, cb8), gy.dtype),  # pad2_s
+            pltpu.VMEM((tile + 2, h + 2, w + 2, cb8), gy.dtype),  # gpad_s
+            pltpu.VMEM((tile + 4, h, w, c8), gy.dtype),  # xs
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
     else:
-        kern = functools.partial(_bwd_kernel, wrap=wrap, nb=nb, chunk=chunk)
-        in_specs = [
-            pl.BlockSpec(
-                (1, 1, d, h, w, c8), lambda bi, i: (nb - 1 - i, bi, 0, 0, 0, 0)
-            ),
-            pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0)),
-        ] + weight_specs
-        out_specs = [
-            pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0))
-        ] + dw_out_specs
-        scratch = [
-            pltpu.VMEM((d + 4, h, w, c8), gy.dtype)  # xs
-        ] + body_scratch
-    dx, dw1, dw2, dw3, dsc = pl.pallas_call(
+        body_scratch = [
+            pltpu.VMEM((d + 2, h, w, c8), gy.dtype),  # gv
+            pltpu.VMEM((d + 4, h + 2, w + 2, cb8), gy.dtype),  # pad2_s
+            pltpu.VMEM((d + 2, h + 2, w + 2, cb8), gy.dtype),  # gpad_s
+        ]
+        if mode == "streaming":
+            any_spec = pl.BlockSpec(memory_space=pl.ANY)
+            kern = functools.partial(
+                _bwd_kernel_streaming, wrap=wrap, nb=nb, chunk=chunk
+            )
+            in_specs = [any_spec, any_spec] + weight_specs
+            out_specs = [any_spec] + dw_out_specs
+            scratch = body_scratch + [
+                pltpu.VMEM((chunk, h, w, c8), gy.dtype),  # xw
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ]
+        else:
+            kern = functools.partial(_bwd_kernel, wrap=wrap, nb=nb, chunk=chunk)
+            in_specs = [
+                pl.BlockSpec(
+                    (1, 1, d, h, w, c8), lambda bi, i: (nb - 1 - i, bi, 0, 0, 0, 0)
+                ),
+                pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0)),
+            ] + weight_specs
+            out_specs = [
+                pl.BlockSpec((1, d, h, w, c8), lambda bi, i: (bi, 0, 0, 0, 0))
+            ] + dw_out_specs
+            scratch = [
+                pltpu.VMEM((d + 4, h, w, c8), gy.dtype)  # xs
+            ] + body_scratch
+    dx, dw1, dw2, dw3, dsc, *_work = pl.pallas_call(
         kern,
-        grid=(b, nb),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((b, d, h, w, c8), gy.dtype)]
-        + dw_out_shape,
+        + dw_out_shape
+        + extra_out_shape,
         scratch_shapes=scratch,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
@@ -889,11 +1265,8 @@ preact_stack_fused.defvjp(_fwd_rule, _bwd_rule)
 # stay on the XLA paths.
 _MAX_VOLUME_BYTES = 8 * 1024 * 1024
 _STREAM_SCRATCH_CAP = 88 * 1024 * 1024  # 128 MB − chunk-2 spill/io allowance
-
-
-def _use_streaming(shape, dtype) -> bool:
-    b, d, h, w, c8 = shape
-    return d * h * w * c8 * jnp.dtype(dtype).itemsize > _MAX_VOLUME_BYTES
+_TILED_BUDGET = 90 * 1024 * 1024  # scratches + 12-row temp allowance
+_SPILL_ROWS = 12  # fp32 temp rows Mosaic spills per chunk row (measured)
 
 
 def _stream_fits(d, h, w, c8, cb8, itemsize) -> bool:
@@ -908,6 +1281,53 @@ def _stream_fits(d, h, w, c8, cb8, itemsize) -> bool:
         + (d + 2) * (h + 2) * _rup(w + 2, 8) * cb8p * itemsize
     )
     return scratch <= _STREAM_SCRATCH_CAP
+
+
+def _tile_rows(d, h, w, c8, cb8, itemsize) -> int:
+    """Depth-tile size for the tiled kernels: the largest T (with ≥2 tiles,
+    T | D, T ≥ 2) whose backward window scratches (gv + xs + pad2 + gpad at
+    physical sizes) plus the chunk-2 fp32 temp/spill allowance fit the
+    budget (measured on v5e at the 512-res stem shape, h·w=4096·128 lanes:
+    T=16 ⇒ 90 MB scratch OOMs; T=8 fits). 0 = no valid tiling."""
+    c8p, cb8p = _rup(c8), _rup(cb8)
+    row_x = h * _rup(w, 8) * c8p * itemsize
+    row_p = (h + 2) * _rup(w + 2, 8) * cb8p * itemsize
+    row_t = h * w * max(c8p, cb8p) * 4  # fp32 chunk temp, per depth row
+    for t in (16, 8, 4, 2):
+        if d % t or d // t < 2:
+            continue
+        scratch = (2 * t + 6) * (row_x + row_p)
+        if scratch + _SPILL_ROWS * row_t <= _TILED_BUDGET:
+            return t
+    return 0
+
+
+_FORCE_MODE: str | None = None  # test hook: 'resident'|'streaming'|'tiled'
+
+
+def _kernel_mode(shape, dtype, cb8: int) -> str | None:
+    """Which io variant runs a (B, D, H, W, C8) block-space stack:
+    'resident' (whole volume VMEM-resident, blocked io), 'streaming'
+    (volume resident, HBM io via explicit DMA), 'tiled' (depth-tiled
+    windows with HBM ping-pong — no volume-size cap), or None."""
+    if _FORCE_MODE is not None:
+        return _FORCE_MODE
+    b, d, h, w, c8 = shape
+    itemsize = jnp.dtype(dtype).itemsize
+    if d * h * w * c8 * itemsize <= _MAX_VOLUME_BYTES:
+        return "resident"
+    if _stream_fits(d, h, w, c8, cb8, itemsize):
+        return "streaming"
+    if _tile_rows(d, h, w, c8, cb8, itemsize) and (
+        os.environ.get("VQVAE3D_TILED_STACK", "0") == "1"
+    ):
+        # Opt-in: measured in isolation the tiled kernels beat the XLA scan
+        # ~2× on the 512-res stem stacks (23 ms vs ~48 ms fwd+bwd at the
+        # 2-fold shape), but in the full train step they LOSE the
+        # DMA/compute overlap the XLA scans provide (546 vs 533 ms step —
+        # the same in-situ effect as ops/fused_block.py, PERF.md).
+        return "tiled"
+    return None
 
 
 def stack_fold(shape, n_blocks: int, dtype, cb: int | None = None) -> int:
@@ -934,6 +1354,14 @@ def stack_fold(shape, n_blocks: int, dtype, cb: int | None = None) -> int:
         return 0
     _, d, h, w, c = shape
     itemsize = jnp.dtype(dtype).itemsize
+    # MXU-executed cost per original voxel of the k3 conv at fold k is
+    # ~27·⌈cb·8ᵏ/128⌉²·128²/8ᵏ, which says c ≤ 8 stacks are cheapest at
+    # 2 folds — and the isolated kernel confirms it (2-fold tiled 23 ms vs
+    # 48 ms XLA at the 512-res stem stack). But in the FULL train step the
+    # extra fold/unfold relayout copies (~20 ms at 256-res) and the lost
+    # DMA overlap make it a net loss (256-res step 223 → 269 ms measured),
+    # so the 2-fold tier stays at c ≤ 4 where 1 fold can't reach dense
+    # lanes at all.
     folds = 2 if c <= 4 else (1 if c <= 32 else 0)
     for k in range(folds, 0, -1):
         s = 2**k
@@ -942,24 +1370,21 @@ def stack_fold(shape, n_blocks: int, dtype, cb: int | None = None) -> int:
         df, hf, wf = d // s, h // s, w // s
         c8 = c * s**3
         cb8 = max(cb if cb is not None else c // 2, 1) * s**3
-        if df * hf * wf * c8 * itemsize <= _MAX_VOLUME_BYTES:
-            return k  # resident-io path (measured ≤ ~90 MB peak)
-        if _stream_fits(df, hf, wf, c8, cb8, itemsize):
+        if _kernel_mode((shape[0], df, hf, wf, c8), dtype, cb8) is not None:
             return k
     return 0
 
 
 def stack_fused_supported(shape, dtype, cb8: int | None = None) -> bool:
     """Gate for an ALREADY-FOLDED (B, D, H, W, C8) block-space activation:
-    fits either the resident-io or the streaming-io kernel's VMEM budget.
+    fits one of the kernel io variants (resident / streaming / tiled).
     See stack_fold for the NDHWC-level policy."""
     if os.environ.get("VQVAE3D_STACK_KERNEL", "1") == "0":
         return False
     _, d, h, w, c8 = shape
-    itemsize = jnp.dtype(dtype).itemsize
-    if d * h * w * c8 * itemsize <= _MAX_VOLUME_BYTES:
-        return True
-    return _stream_fits(d, h, w, c8, cb8 if cb8 is not None else c8, itemsize)
+    return (
+        _kernel_mode(shape, dtype, cb8 if cb8 is not None else c8) is not None
+    )
 
 
 __all__ = ["preact_stack_fused", "stack_fused_supported", "stack_fold"]

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqvae3d_tpu.data.transforms import create_cylinder_xy_mask
+from vqvae3d_tpu.ops.resize import space_to_depth
 from vqvae3d_tpu.metrics.distribution import mixture_nll_loss
 from vqvae3d_tpu.metrics.evaluate import nmse, psnr, ssim3d_slices
 from vqvae3d_tpu.parallel.mesh import (
@@ -53,6 +54,33 @@ def depth_valid_mask(num_valid_slices: jax.Array, depth: int) -> jax.Array:
     return mask[:, None, None, :, None]
 
 
+def depth_valid_mask_folded(
+    num_valid_slices: jax.Array, depth: int, f: int, channels: int
+) -> jax.Array:
+    """Folded-space depth mask: (B, 1, 1, depth/f, f³·channels) matching the
+    space_to_depth channel order (ph, pw, pd, c) — voxel (b, ·, ·, d, ch)
+    of the folded volume is full-res depth slice d·f + pd with
+    pd = (ch // channels) % f."""
+    d = jnp.arange(depth // f)
+    pd = jnp.arange(f)
+    m = (d[None, :, None] * f + pd[None, None, :]) < num_valid_slices[:, None, None]
+    m = jnp.repeat(m[:, :, None, :], f * f, axis=2)  # broadcast over (ph, pw)
+    m = jnp.repeat(m.reshape(m.shape[0], depth // f, f**3), channels, axis=-1)
+    return m[:, None, None, :, :]
+
+
+def cylinder_mask_folded(hw, f: int, depth_channels: int) -> np.ndarray:
+    """Folded-space cylinder mask: (1, H/f, W/f, 1, f³·C) numpy bool.
+    Entry (h, w, ((ph·f+pw)·f+pd)·C+c) = full-res mask[h·f+ph, w·f+pw]."""
+    m = create_cylinder_xy_mask(hw)  # (H, W) bool
+    h, w = m.shape
+    mb = m.reshape(h // f, f, w // f, f).transpose(0, 2, 1, 3).reshape(
+        h // f, w // f, f * f
+    )
+    mb = np.repeat(mb, f * depth_channels, axis=-1)  # over (pd, c)
+    return mb[None, :, :, None, :]
+
+
 def vqvae_loss_fn(
     model,
     params,
@@ -62,6 +90,7 @@ def vqvae_loss_fn(
     train: bool,
     extract_cylinder: bool = True,
     with_median: bool = False,
+    folded: bool | None = None,
 ) -> Tuple[jax.Array, Tuple[Any, Dict[str, jax.Array], jax.Array]]:
     """Returns (loss, (new_quantizer_state, log_dict, loc)).
 
@@ -70,11 +99,25 @@ def vqvae_loss_fn(
     """
     x = batch["volume"]
     num_valid = batch["num_valid_slices"]
+    full_depth = x.shape[3]
+
+    # Train-path loss runs entirely in the stem's space-to-depth layout:
+    # every loss term is voxel-pointwise (or a permutation-invariant
+    # reduction), so folding the target once and skipping the model's
+    # internal s2d/d2s is exact — and the full-res volume (whose strided
+    # relayout copies cost ~6% of the 512-res step, PERF.md) never exists
+    # inside the jitted step. Eval keeps full-res (slice-SSIM needs it).
+    f = int(getattr(model.config, "stem_space_to_depth", 1) or 1)
+    if folded is None:
+        folded = train and f > 1
+    folded = folded and f > 1
+    if folded:
+        x = space_to_depth(x, f)
 
     variables = {"params": params, "quantizer": quantizer_state}
     if train:
         (decoded, (c_losses, _, _)), mutated = model.apply(
-            variables, x, train=True, mutable=["quantizer"]
+            variables, x, train=True, folded_io=folded, mutable=["quantizer"]
         )
         new_quantizer = mutated["quantizer"]
     else:
@@ -82,7 +125,12 @@ def vqvae_loss_fn(
         new_quantizer = quantizer_state
 
     xf = x.astype(jnp.float32)
-    dmask = depth_valid_mask(num_valid, x.shape[3]).astype(jnp.float32)
+    out_ch = int(getattr(model.config, "output_channels", 1) or 1)
+    if folded:
+        dmask = depth_valid_mask_folded(num_valid, full_depth, f, out_ch)
+        dmask = dmask.astype(jnp.float32)
+    else:
+        dmask = depth_valid_mask(num_valid, full_depth).astype(jnp.float32)
     metric = getattr(model.config, "metric", "huber")
     if metric == "mixture-nll":
         # Discretized-logistic-mixture head: the decoder's out conv emits
@@ -92,7 +140,9 @@ def vqvae_loss_fn(
         # metric='mixture-nll' makes it a first-class recon loss.
         n_mix = model.config.n_mix
         d = decoded.astype(jnp.float32)
-        c_out = model.config.output_channels
+        # folded: channel order is (ph, pw, pd, head_ch) with head_ch =
+        # (c_out, 3·n_mix) minor — the same split applies per phase
+        c_out = model.config.output_channels * (f**3 if folded else 1)
         d = d.reshape(*d.shape[:-1], c_out, 3 * n_mix)
         logits, mloc, mlog_scale = jnp.split(d, 3, axis=-1)
         mloc = jax.nn.elu(mloc)  # same output nonlinearity as the huber path
@@ -119,11 +169,21 @@ def vqvae_loss_fn(
         # backward is a scatter into the (H, W) grid which XLA serializes
         # (measured ~2 s/step at 512-res); the mask-weighted form has an
         # elementwise backward and the identical mean.
-        mask = jnp.asarray(
-            create_cylinder_xy_mask((x.shape[1], x.shape[2])), jnp.bool_
-        )[None, :, :, None, None]
-        w = mask.astype(jnp.float32)
-        count = jnp.sum(w) * x.shape[0] * x.shape[3] * x.shape[4]
+        if folded:
+            mask = jnp.asarray(
+                cylinder_mask_folded(
+                    (x.shape[1] * f, x.shape[2] * f), f, out_ch
+                ),
+                jnp.bool_,
+            )
+            w = mask.astype(jnp.float32)
+            count = jnp.sum(w) * x.shape[0] * x.shape[3]
+        else:
+            mask = jnp.asarray(
+                create_cylinder_xy_mask((x.shape[1], x.shape[2])), jnp.bool_
+            )[None, :, :, None, None]
+            w = mask.astype(jnp.float32)
+            count = jnp.sum(w) * x.shape[0] * x.shape[3] * x.shape[4]
         recon_loss = jnp.sum(pointwise * w) / count
 
         def wstat(v):
