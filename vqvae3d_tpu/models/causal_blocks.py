@@ -322,6 +322,114 @@ class PreActFixupCausalResBlock(nn.Module):
             skip = stack
         return tuple(o + sk for o, sk in zip(out, skip))
 
+class _Kernel(nn.Module):
+    """Bare kernel parameter at a Conv3D-compatible path ('<name>/kernel')."""
+
+    shape: Tuple[int, ...]
+    init: Callable
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", self.init, self.shape)
+        if not self.use_bias:
+            return w
+        b = self.param("bias", nn.initializers.zeros_init(), (self.shape[-1],))
+        return w, b
+
+
+class _TripleKernel(nn.Module):
+    """Param twin of a (bias-less) CausalConv3dAdd: three per-stream conv
+    kernels at the same flax paths the module creates."""
+
+    shapes: Tuple[Tuple[int, ...], Tuple[int, ...], Tuple[int, ...]]
+    init: Callable
+
+    @nn.compact
+    def __call__(self):
+        return tuple(
+            _Kernel(shape, self.init, name=n)()
+            for shape, n in zip(
+                self.shapes, ("depth_conv", "height_conv", "width_conv")
+            )
+        )
+
+
+class CausalPreActParams(nn.Module):
+    """Parameter-only twin of a mask-'B' PreActFixupCausalResBlock
+    (concat_activation off, no aux).
+
+    Creates the exact same parameter tree as the module — scalars,
+    branch_conv{1,2,3}/{depth,height,width}_conv/kernel,
+    expand_rf/{depth,height}_conv/{kernel,bias}, condition/{kernel,bias} —
+    and returns the values, so N structurally-identical blocks can be
+    leaf-stacked and run under ONE lax.scan in block space
+    (ops/causal_stack.py) with checkpoints fully interchangeable with the
+    naive module loop.
+    """
+
+    channels: int
+    kernel_size: int = 3
+    condition_dim: int = 0  # embedded-condition channels (0 = unconditioned)
+    bottleneck_divisor: int = 4
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self):
+        from vqvae3d_tpu.ops.causal_stack import causal_conv_pads
+
+        c = self.channels
+        cb = max(c // self.bottleneck_divisor, 1)
+        scalars = tuple(
+            self.param(f"bias{n}", nn.initializers.zeros_init(), (1,))
+            for n in ("1a", "1b", "2a", "2b", "3a", "3b", "4")
+        ) + (self.param("scale", nn.initializers.ones_init(), (1,)),)
+
+        one = ((1, 1, 1, c, cb),) * 3
+        w1 = _TripleKernel(
+            one, fixup_branch_init(self.num_layers), name="branch_conv1"
+        )()
+
+        class _Expand(nn.Module):
+            @nn.compact
+            def __call__(self2):
+                w_dc, b_dc = _Kernel(
+                    (1, 1, 1, cb, 2 * cb),
+                    torch_conv_default_init(),
+                    use_bias=True,
+                    name="depth_conv",
+                )()
+                w_h2w, b_h2w = _Kernel(
+                    (1, 1, 1, cb, cb),
+                    torch_conv_default_init(),
+                    use_bias=True,
+                    name="height_conv",
+                )()
+                return w_dc, b_dc, w_h2w, b_h2w
+
+        expand = _Expand(name="expand_rf")()
+
+        k2_shapes = tuple(
+            (*shape, cb, cb) for shape, _ in causal_conv_pads(self.kernel_size)
+        )
+        w2 = _TripleKernel(k2_shapes, kaiming_normal_init(), name="branch_conv2")()
+
+        cond = None
+        if self.condition_dim > 0:
+            cond = _Kernel(
+                (1, 1, 1, self.condition_dim, cb),
+                torch_conv_default_init(),
+                use_bias=True,
+                name="condition",
+            )()
+
+        w3 = _TripleKernel(
+            ((1, 1, 1, cb, c),) * 3, nn.initializers.zeros_init(),
+            name="branch_conv3",
+        )()
+        return w1, expand, w2, cond, w3, scalars
+
+
 class FixupCausalResBlock(nn.Module):
     """Simpler 2-conv causal Fixup variant (reference layers.py:251-335)."""
 

@@ -19,11 +19,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vqvae3d_tpu.models.causal_blocks import (
+    CausalPreActParams,
     FixupCausalResBlock,
     PreActFixupCausalResBlock,
     input_to_stack,
     stack_to_output,
 )
+from vqvae3d_tpu.ops.causal_stack import apply_causal_stack, causal_stack_ok
 from vqvae3d_tpu.ops.conv3d import Conv3D
 
 
@@ -43,6 +45,11 @@ class PixelCNNConfig:
     mixup_alpha: float = 0.0  # 0 disables mixup
     lr: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # Run the mask-'B' blocks as ONE lax.scan in 2x block space when the
+    # grid/channel shape pays XLA's lane-padding tax (ops/causal_stack.py).
+    # Parameter tree is identical either way.
+    scan_stacks: bool = True
+    remat_scan: bool = False
 
     @property
     def use_conditioning(self) -> bool:
@@ -83,6 +90,69 @@ class PixelCNN(nn.Module):
         block_cls = (
             PreActFixupCausalResBlock if cfg.use_pre_activation else FixupCausalResBlock
         )
+        use_scan = (
+            cfg.scan_stacks
+            and cfg.use_pre_activation
+            and not cfg.use_concat_activation
+            and cfg.num_resblocks >= 1
+            and causal_stack_ok(
+                cfg.model_dim,
+                tuple(data.shape[1:4]),
+                cfg.num_resblocks,
+                kernel_size=cfg.kernel_size,
+            )
+        )
+        if use_scan:
+            # mask-'A' entry block stays a regular module; the N mask-'B'
+            # blocks run as one scanned block-space segment
+            stack = block_cls(
+                out_channels=cfg.model_dim,
+                kernel_size=cfg.kernel_size,
+                mask="A",
+                dropout_prob=cfg.dropout_prob,
+                num_layers=cfg.num_layers,
+                condition_dim=cfg.model_dim if cfg.use_conditioning else 0,
+                bottleneck_divisor=cfg.bottleneck_divisor,
+                concat_activation=cfg.use_concat_activation,
+                dtype=cfg.dtype,
+                name="layer_0",
+            )(stack, condition=cond_embedded, train=train)
+            per_block = [
+                CausalPreActParams(
+                    channels=cfg.model_dim,
+                    kernel_size=cfg.kernel_size,
+                    condition_dim=cfg.model_dim if cfg.use_conditioning else 0,
+                    bottleneck_divisor=cfg.bottleneck_divisor,
+                    num_layers=cfg.num_layers,
+                    name=f"layer_{i}",
+                )()
+                for i in range(1, cfg.num_resblocks + 1)
+            ]
+            stacked = jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *per_block
+            )
+            rng = (
+                self.make_rng("dropout")
+                if (train and cfg.dropout_prob > 0)
+                else None
+            )
+            stack = apply_causal_stack(
+                stack,
+                stacked,
+                cond_embedded,
+                kernel_size=cfg.kernel_size,
+                dropout_prob=cfg.dropout_prob,
+                train=train,
+                rng=rng,
+                remat=cfg.remat_scan,
+            )
+            out = stack_to_output(stack)
+            logits = Conv3D(
+                features=cfg.input_dim, kernel_size=1, dtype=cfg.dtype,
+                name="parse_output",
+            )(out)
+            return logits.astype(jnp.float32)
+
         for i in range(cfg.num_resblocks + 1):
             kwargs = dict(
                 out_channels=cfg.model_dim,

@@ -28,11 +28,42 @@ is bit-comparable; tested in tests/test_chunked_attention.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 NEG_BIG = -1e3  # reference layers.py:639 masked_fill value
+
+
+def _fast_dropout_key(rng: jax.Array) -> jax.Array:
+    """Rebase a dropout key onto the 'rbg' PRNG (XLA RngBitGenerator — the
+    TPU hardware PRNG instruction).
+
+    The mid-level published PixelSNAIL config (S=8192, dropout 0.5) draws
+    ~13G random bits per train step for the per-tile logit masks; with the
+    default threefry PRNG the ALU hashing dominates the step (PERF.md
+    "Stage-2"). Dropout needs no counter-based reproducibility across
+    backends, so the hardware generator is the right tool. fold_in/split on
+    the rebased key still work (they act on the 4-word key itself, cheap);
+    bit streams differ from threefry — same caveat as the chunked-vs-dense
+    stream layout, already documented above. VQVAE3D_SLOW_RNG=1 restores
+    threefry bits.
+    """
+    if os.environ.get("VQVAE3D_SLOW_RNG") == "1":
+        return rng
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        if jax.random.key_impl(rng) == jax.random.key_impl(
+            jax.random.key(0, impl="rbg")
+        ):
+            return rng
+        kd = jax.random.key_data(rng)
+    else:
+        kd = rng
+    kd = kd.reshape(-1)
+    if kd.size == 2:
+        kd = jnp.tile(kd, 2)
+    return jax.random.wrap_key_data(kd[:4], impl="rbg")
 
 
 @functools.partial(
@@ -92,6 +123,8 @@ def causal_attention_chunked(
     q_blocks = q.reshape(b, nh, nqb, blk_q, dh)
 
     rng0 = dropout_rng if dropout_rng is not None else jax.random.PRNGKey(0)
+    if dropout_p > 0.0:
+        rng0 = _fast_dropout_key(rng0)
 
     def one_q_block(qi, qb):
         """qb: (B, nh, blk_q, dh) → (B, nh, blk_q, dv). qi is a python int:
