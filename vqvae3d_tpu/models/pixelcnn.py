@@ -47,9 +47,14 @@ class PixelCNNConfig:
     dtype: Any = jnp.bfloat16
     # Run the mask-'B' blocks as ONE lax.scan in 2x block space when the
     # grid/channel shape pays XLA's lane-padding tax (ops/causal_stack.py).
-    # Parameter tree is identical either way.
+    # Parameter tree is identical either way. remat_scan checkpoints the
+    # scan body so backward saves only the per-block carry (3 streams),
+    # not every conv intermediate — without it the published top config
+    # (50 blocks over the 128x128x32 grid) overflows HBM by ~4 GB, and
+    # XLA cannot rematerialize across scan iterations on its own. The
+    # recompute is one extra forward of a DMA-bound segment: cheap.
     scan_stacks: bool = True
-    remat_scan: bool = False
+    remat_scan: bool = True
 
     @property
     def use_conditioning(self) -> bool:
