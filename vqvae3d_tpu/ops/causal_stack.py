@@ -238,6 +238,34 @@ def apply_causal_stack(
     )
 
     use_dropout = dropout_prob > 0 and train
+
+    # Stack-resident causal megakernel (ops/causal_kernel.py): the whole
+    # mask-'B' segment in ONE pallas_call, streams VMEM-resident. Single
+    # real-TPU device only (under GSPMD an opaque pallas_call would force
+    # gathers of the sharded volume); dropout>0 stays on the scan path.
+    if not use_dropout and (
+        jax.default_backend() == "tpu" and jax.device_count() == 1
+    ):
+        from vqvae3d_tpu.ops.causal_kernel import (
+            causal_fused_ok,
+            causal_stack_fused,
+            pack_causal_params,
+        )
+
+        cb8 = jax.tree_util.tree_leaves(folded)[0].shape[-1]
+        c8c = cond_f.shape[-1] if cond_f is not None else 0
+        if causal_fused_ok(
+            xs_f[0].shape, dt, cb8, c8c, kernel_size=kernel_size
+        ):
+            packed = pack_causal_params(folded)
+            *weights, has_cond = packed
+            cf = (
+                cond_f
+                if cond_f is not None
+                else jnp.zeros((xs_f[0].shape[0], 1, 1, 1, 8), dt)
+            )
+            ys = causal_stack_fused((has_cond, False), *xs_f, cf, *weights)
+            return tuple(depth_to_space(y, 2) for y in ys)
     if use_dropout:
         assert rng is not None
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
