@@ -11,7 +11,7 @@ from vqvae3d_tpu.models.causal_blocks import CausalPreActParams
 from vqvae3d_tpu.ops.causal_kernel import (
     causal_fused_ok,
     causal_stack_fused,
-    pack_causal_params,
+    pack_causal_union,
 )
 from vqvae3d_tpu.ops.causal_stack import (
     apply_causal_stack,
@@ -69,17 +69,14 @@ def _scan(streams, stacked, cond):
 
 def _fused(streams, stacked, cond):
     folded = jax.vmap(lambda p: fold_causal_block_params(p, 3))(stacked)
-    w1, we, be, w2d, w2h, w2w, w3, wc, bc, sc, has_cond = (
-        pack_causal_params(folded)
-    )
+    weights = jax.vmap(pack_causal_union)(folded)
+    has_cond = cond is not None
     b = streams[0].shape[0]
-    cond_f = cond if cond is not None else jnp.zeros(
-        (b, 1, 1, 1, 8), streams[0].dtype
-    )
-    return causal_stack_fused(
-        (has_cond, True), *streams, cond_f,
-        w1, we, be, w2d, w2h, w2w, w3, wc, bc, sc,
-    )
+    cond_f = cond if has_cond else jnp.zeros((b, 1, 1, 1, 8), streams[0].dtype)
+    xu = jnp.concatenate(streams, axis=-1)
+    yu = causal_stack_fused((has_cond, True), xu, cond_f, *weights)
+    c8 = streams[0].shape[-1]
+    return tuple(yu[..., s * c8 : (s + 1) * c8] for s in range(3))
 
 
 @pytest.mark.parametrize("cond_dim", [0, 2])

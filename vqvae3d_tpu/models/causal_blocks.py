@@ -376,58 +376,105 @@ class CausalPreActParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        from vqvae3d_tpu.ops.causal_stack import causal_conv_pads
+        return _declare_causal_preact_params(self)
 
-        c = self.channels
-        cb = max(c // self.bottleneck_divisor, 1)
-        scalars = tuple(
-            self.param(f"bias{n}", nn.initializers.zeros_init(), (1,))
-            for n in ("1a", "1b", "2a", "2b", "3a", "3b", "4")
-        ) + (self.param("scale", nn.initializers.ones_init(), (1,)),)
 
-        one = ((1, 1, 1, c, cb),) * 3
-        w1 = _TripleKernel(
-            one, fixup_branch_init(self.num_layers), name="branch_conv1"
-        )()
+def _declare_causal_preact_params(mod):
+    """Declare the mask-'B' block's parameter tree inside ``mod``'s compact
+    scope and return the values (shared by CausalPreActParams and the
+    mask-'A' twin so both produce identical flax paths)."""
+    from vqvae3d_tpu.ops.causal_stack import causal_conv_pads
 
-        class _Expand(nn.Module):
-            @nn.compact
-            def __call__(self2):
-                w_dc, b_dc = _Kernel(
-                    (1, 1, 1, cb, 2 * cb),
-                    torch_conv_default_init(),
-                    use_bias=True,
-                    name="depth_conv",
-                )()
-                w_h2w, b_h2w = _Kernel(
-                    (1, 1, 1, cb, cb),
-                    torch_conv_default_init(),
-                    use_bias=True,
-                    name="height_conv",
-                )()
-                return w_dc, b_dc, w_h2w, b_h2w
+    c = mod.channels
+    cb = max(c // mod.bottleneck_divisor, 1)
+    scalars = tuple(
+        mod.param(f"bias{n}", nn.initializers.zeros_init(), (1,))
+        for n in ("1a", "1b", "2a", "2b", "3a", "3b", "4")
+    ) + (mod.param("scale", nn.initializers.ones_init(), (1,)),)
 
-        expand = _Expand(name="expand_rf")()
+    one = ((1, 1, 1, c, cb),) * 3
+    w1 = _TripleKernel(
+        one, fixup_branch_init(mod.num_layers), name="branch_conv1",
+        parent=mod,
+    )()
 
-        k2_shapes = tuple(
-            (*shape, cb, cb) for shape, _ in causal_conv_pads(self.kernel_size)
-        )
-        w2 = _TripleKernel(k2_shapes, kaiming_normal_init(), name="branch_conv2")()
-
-        cond = None
-        if self.condition_dim > 0:
-            cond = _Kernel(
-                (1, 1, 1, self.condition_dim, cb),
+    class _Expand(nn.Module):
+        @nn.compact
+        def __call__(self2):
+            w_dc, b_dc = _Kernel(
+                (1, 1, 1, cb, 2 * cb),
                 torch_conv_default_init(),
                 use_bias=True,
-                name="condition",
+                name="depth_conv",
             )()
+            w_h2w, b_h2w = _Kernel(
+                (1, 1, 1, cb, cb),
+                torch_conv_default_init(),
+                use_bias=True,
+                name="height_conv",
+            )()
+            return w_dc, b_dc, w_h2w, b_h2w
 
-        w3 = _TripleKernel(
-            ((1, 1, 1, cb, c),) * 3, nn.initializers.zeros_init(),
-            name="branch_conv3",
+    expand = _Expand(name="expand_rf", parent=mod)()
+
+    k2_shapes = tuple(
+        (*shape, cb, cb) for shape, _ in causal_conv_pads(mod.kernel_size)
+    )
+    w2 = _TripleKernel(
+        k2_shapes, kaiming_normal_init(), name="branch_conv2", parent=mod
+    )()
+
+    cond = None
+    if mod.condition_dim > 0:
+        cond = _Kernel(
+            (1, 1, 1, mod.condition_dim, cb),
+            torch_conv_default_init(),
+            use_bias=True,
+            name="condition",
+            parent=mod,
         )()
-        return w1, expand, w2, cond, w3, scalars
+
+    w3 = _TripleKernel(
+        ((1, 1, 1, cb, c),) * 3, nn.initializers.zeros_init(),
+        name="branch_conv3",
+        parent=mod,
+    )()
+    return w1, expand, w2, cond, w3, scalars
+
+
+class CausalPreActParamsA(nn.Module):
+    """Parameter-only twin of the mask-'A' PreActFixupCausalResBlock: the
+    mask-'B' tree (CausalPreActParams) plus the skip projection the 'A'
+    block always has (skip_conv/{depth,height,width}_conv/{kernel,bias}).
+    The mask-'A' shifts are data ops with no parameters — they fold into
+    the conv kernels (ops/causal_stack.py::fold_causal_block_params_A)."""
+
+    channels: int
+    kernel_size: int = 3
+    condition_dim: int = 0
+    bottleneck_divisor: int = 4
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self):
+        base = _declare_causal_preact_params(self)
+        c = self.channels
+
+        class _Skip(nn.Module):
+            @nn.compact
+            def __call__(self2):
+                return tuple(
+                    _Kernel(
+                        (1, 1, 1, c, c),
+                        xavier_normal_init(),
+                        use_bias=True,
+                        name=n,
+                    )()
+                    for n in ("depth_conv", "height_conv", "width_conv")
+                )
+
+        skip = _Skip(name="skip_conv", parent=self)()
+        return base + (skip,)
 
 
 class FixupCausalResBlock(nn.Module):

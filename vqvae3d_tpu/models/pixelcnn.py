@@ -78,6 +78,112 @@ class PixelCNN(nn.Module):
         cfg = self.config
         assert (condition is not None) == cfg.use_conditioning
 
+        use_scan = (
+            cfg.scan_stacks
+            and cfg.use_pre_activation
+            and not cfg.use_concat_activation
+            and cfg.num_resblocks >= 1
+            and causal_stack_ok(
+                cfg.model_dim,
+                tuple(data.shape[1:4]),
+                cfg.num_resblocks,
+                kernel_size=cfg.kernel_size,
+            )
+        )
+        if use_scan:
+            # the ENTIRE interior runs in 2x block space — one fold of the
+            # (lane-dense) one-hot input, folded 1x1 io convs, the mask-'A'
+            # block with shift-folded kernels, the mask-'B' segment as a
+            # scan / megakernel, one unfold of the (lane-dense) logits. No
+            # model_dim-channel tensor ever materializes at full res.
+            from vqvae3d_tpu.models.causal_blocks import (
+                CausalPreActParamsA,
+                _Kernel,
+            )
+            from vqvae3d_tpu.ops.causal_stack import (
+                causal_preact_block_A_folded,
+                fold_causal_block_params_A,
+                folded_1x1,
+            )
+            from vqvae3d_tpu.ops.conv3d import torch_conv_default_init
+            from vqvae3d_tpu.ops.resize import depth_to_space, space_to_depth
+
+            cdim = cfg.model_dim if cfg.use_conditioning else 0
+            wpi, bpi = _Kernel(
+                (1, 1, 1, cfg.input_dim, cfg.model_dim),
+                torch_conv_default_init(),
+                use_bias=True,
+                name="parse_input",
+            )()
+            xf = space_to_depth(data.astype(cfg.dtype), 2)
+            hf = folded_1x1(xf, wpi, bpi)
+            stack = input_to_stack(hf)
+
+            cond_f = None
+            if cfg.use_conditioning:
+                wec, bec = _Kernel(
+                    (1, 1, 1, cfg.condition_dim, cfg.model_dim),
+                    torch_conv_default_init(),
+                    use_bias=True,
+                    name="embed_condition",
+                )()
+                cond_f = folded_1x1(
+                    space_to_depth(condition.astype(cfg.dtype), 2), wec, bec
+                )
+
+            dropout_on = train and cfg.dropout_prob > 0
+            pa = CausalPreActParamsA(
+                channels=cfg.model_dim,
+                kernel_size=cfg.kernel_size,
+                condition_dim=cdim,
+                bottleneck_divisor=cfg.bottleneck_divisor,
+                num_layers=cfg.num_layers,
+                name="layer_0",
+            )()
+            stack = causal_preact_block_A_folded(
+                stack,
+                fold_causal_block_params_A(pa, cfg.kernel_size),
+                cond_f,
+                kernel_size=cfg.kernel_size,
+                dropout_prob=cfg.dropout_prob,
+                train=train,
+                rng=self.make_rng("dropout") if dropout_on else None,
+            )
+            per_block = [
+                CausalPreActParams(
+                    channels=cfg.model_dim,
+                    kernel_size=cfg.kernel_size,
+                    condition_dim=cdim,
+                    bottleneck_divisor=cfg.bottleneck_divisor,
+                    num_layers=cfg.num_layers,
+                    name=f"layer_{i}",
+                )()
+                for i in range(1, cfg.num_resblocks + 1)
+            ]
+            stacked = jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *per_block
+            )
+            stack = apply_causal_stack(
+                stack,
+                stacked,
+                cond_f,
+                kernel_size=cfg.kernel_size,
+                dropout_prob=cfg.dropout_prob,
+                train=train,
+                rng=self.make_rng("dropout") if dropout_on else None,
+                remat=cfg.remat_scan,
+                folded_io=True,
+            )
+            out_f = stack_to_output(stack)
+            wpo, bpo = _Kernel(
+                (1, 1, 1, cfg.model_dim, cfg.input_dim),
+                torch_conv_default_init(),
+                use_bias=True,
+                name="parse_output",
+            )()
+            logits = depth_to_space(folded_1x1(out_f, wpo, bpo), 2)
+            return logits.astype(jnp.float32)
+
         h = Conv3D(
             features=cfg.model_dim, kernel_size=1, dtype=cfg.dtype, name="parse_input"
         )(data)
@@ -95,68 +201,6 @@ class PixelCNN(nn.Module):
         block_cls = (
             PreActFixupCausalResBlock if cfg.use_pre_activation else FixupCausalResBlock
         )
-        use_scan = (
-            cfg.scan_stacks
-            and cfg.use_pre_activation
-            and not cfg.use_concat_activation
-            and cfg.num_resblocks >= 1
-            and causal_stack_ok(
-                cfg.model_dim,
-                tuple(data.shape[1:4]),
-                cfg.num_resblocks,
-                kernel_size=cfg.kernel_size,
-            )
-        )
-        if use_scan:
-            # mask-'A' entry block stays a regular module; the N mask-'B'
-            # blocks run as one scanned block-space segment
-            stack = block_cls(
-                out_channels=cfg.model_dim,
-                kernel_size=cfg.kernel_size,
-                mask="A",
-                dropout_prob=cfg.dropout_prob,
-                num_layers=cfg.num_layers,
-                condition_dim=cfg.model_dim if cfg.use_conditioning else 0,
-                bottleneck_divisor=cfg.bottleneck_divisor,
-                concat_activation=cfg.use_concat_activation,
-                dtype=cfg.dtype,
-                name="layer_0",
-            )(stack, condition=cond_embedded, train=train)
-            per_block = [
-                CausalPreActParams(
-                    channels=cfg.model_dim,
-                    kernel_size=cfg.kernel_size,
-                    condition_dim=cfg.model_dim if cfg.use_conditioning else 0,
-                    bottleneck_divisor=cfg.bottleneck_divisor,
-                    num_layers=cfg.num_layers,
-                    name=f"layer_{i}",
-                )()
-                for i in range(1, cfg.num_resblocks + 1)
-            ]
-            stacked = jax.tree_util.tree_map(
-                lambda *leaves: jnp.stack(leaves), *per_block
-            )
-            rng = (
-                self.make_rng("dropout")
-                if (train and cfg.dropout_prob > 0)
-                else None
-            )
-            stack = apply_causal_stack(
-                stack,
-                stacked,
-                cond_embedded,
-                kernel_size=cfg.kernel_size,
-                dropout_prob=cfg.dropout_prob,
-                train=train,
-                rng=rng,
-                remat=cfg.remat_scan,
-            )
-            out = stack_to_output(stack)
-            logits = Conv3D(
-                features=cfg.input_dim, kernel_size=1, dtype=cfg.dtype,
-                name="parse_output",
-            )(out)
-            return logits.astype(jnp.float32)
 
         for i in range(cfg.num_resblocks + 1):
             kwargs = dict(

@@ -140,6 +140,113 @@ def _dot(x, w):
     )
 
 
+def folded_1x1(x_f: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
+    """A stock (1,1,1,C,Co)+bias conv applied to a 2x-folded activation:
+    phase-block-diagonal matmul + phase-tiled bias. Exact."""
+    y = _dot(x_f, conv1x1_block_kernel(w)[0, 0, 0])
+    if b is not None:
+        y = y + jnp.tile(b, 8).astype(y.dtype)
+    return y
+
+
+def shifted_1x1_pads():
+    """Original-space (kernel shape, pad) per stream for the mask-'A'
+    shift-then-1x1 (models/causal_blocks.py::CausalConv3dAdd mask='A',
+    kernel_size=1 — the shift folds into a 2-tap conv whose second tap is
+    zero: y[i] = w·x[i-1])."""
+    return (
+        ((2, 1, 1), ((1, 0), (0, 0), (0, 0))),
+        ((1, 2, 1), ((0, 0), (1, 0), (0, 0))),
+        ((1, 1, 2), ((0, 0), (0, 0), (1, 0))),
+    )
+
+
+def _fold_shifted_1x1(w: jax.Array, stream: int):
+    """(1,1,1,C,Co) -> block-space kernel of the stream's shift-then-1x1."""
+    shape, pad = shifted_1x1_pads()[stream]
+    wext = jnp.zeros((*shape, *w.shape[3:]), w.dtype)
+    wext = wext.at[0, 0, 0].set(w[0, 0, 0])
+    return stride1_block_kernel(wext, pad)
+
+
+def fold_causal_block_params_A(params, kernel_size: int):
+    """Embed a mask-'A' block's parameters (CausalPreActParamsA values)
+    into 2x block space. Same layout as fold_causal_block_params plus the
+    shift-folded w1 (list of (kernel, pad) pairs — the 'A' shifts make
+    branch_conv1 a 2-tap conv) and the skip projection."""
+    w1, expand, w2, cond, w3, scalars, skip = params
+    base = fold_causal_block_params(
+        (w1, expand, w2, cond, w3, scalars), kernel_size
+    )
+    _, ef, w2f, condf, w3f, sc = base
+    w1sf = tuple(_fold_shifted_1x1(w, s) for s, w in enumerate(w1))
+    skipf = tuple(
+        (*_fold_shifted_1x1(w, s), jnp.tile(b, 8))
+        for s, (w, b) in enumerate(skip)
+    )
+    return (w1sf, ef, w2f, condf, w3f, sc, skipf)
+
+
+def causal_preact_block_A_folded(
+    stack: Stack,
+    pa,
+    cond_f: Optional[jax.Array],
+    *,
+    kernel_size: int,
+    dropout_prob: float,
+    train: bool,
+    rng: Optional[jax.Array],
+) -> Stack:
+    """One mask-'A' PreActFixupCausalResBlock on folded streams. Mirrors
+    models/causal_blocks.py::PreActFixupCausalResBlock (mask='A') step for
+    step: the one-time causal shifts fold into branch_conv1 and skip_conv
+    kernels (zero-padded 2-tap convs in block space)."""
+    w1sf, ef, w2f, condf, w3f, scalars, skipf = pa
+    pads2 = folded_causal_pads(kernel_size)
+    dt = stack[0].dtype
+
+    def s(i):
+        return scalars[i].astype(dt)
+
+    act = jax.nn.elu
+    out = tuple(
+        conv3d(act(x + s(0)) + s(1), wf, padding=pb, block_rewrite=False)
+        for x, (wf, pb) in zip(stack, w1sf)
+    )
+
+    w_d2h, b_d2h, w_d2w, b_d2w, w_h2w, b_h2w = ef
+    od, oh, ow = out
+    d2h = _dot(od, w_d2h) + b_d2h.astype(dt)
+    d2w = _dot(od, w_d2w) + b_d2w.astype(dt)
+    h2w = _dot(oh, w_h2w) + b_h2w.astype(dt)
+    out = (od, oh + d2h, ow + h2w + d2w)
+
+    out = tuple(
+        conv3d(act(x + s(2)) + s(3), wf, padding=pb, block_rewrite=False)
+        for x, wf, pb in zip(out, w2f, pads2)
+    )
+
+    if dropout_prob > 0 and train:
+        rngs = jax.random.split(rng, 3)
+        out = tuple(
+            _channel_dropout_folded(x, dropout_prob, r)
+            for x, r in zip(out, rngs)
+        )
+
+    if condf is not None:
+        wc, bc = condf
+        cnd = _dot(cond_f, wc) + bc.astype(dt)
+        out = tuple(x + cnd for x in out)
+
+    out = tuple(_dot(act(x + s(4)) + s(5), wf) for x, wf in zip(out, w3f))
+    scale = scalars[7].astype(dt)
+    skip = tuple(
+        conv3d(x, wf, padding=pb, block_rewrite=False) + bb.astype(dt)
+        for x, (wf, pb, bb) in zip(stack, skipf)
+    )
+    return tuple(o * scale + s(6) + sk for o, sk in zip(out, skip))
+
+
 def _channel_dropout_folded(x, rate: float, rng):
     """torch Dropout3d on a folded stream: one keep decision per ORIGINAL
     channel, tiled over the 8 phases (fold lane order is (phase, c), c
@@ -217,11 +324,14 @@ def apply_causal_stack(
     train: bool,
     rng: Optional[jax.Array],
     remat: bool = False,
+    folded_io: bool = False,
 ) -> Stack:
     """Run N mask-'B' causal blocks (leaf-stacked params) in block space.
 
     stack: 3 x (B, s0, s1, s2, C) streams; cond_embedded: (B, s0, s1, s2, Cc)
     or None. One fold at entry, one scan over blocks, one unfold at exit.
+    ``folded_io=True``: streams and condition arrive ALREADY folded and the
+    result stays folded (the model runs its whole interior in block space).
     """
     n_blocks = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     folded = jax.vmap(
@@ -230,12 +340,18 @@ def apply_causal_stack(
     pads2 = folded_causal_pads(kernel_size)
 
     dt = stack[0].dtype
-    xs_f = tuple(space_to_depth(x, 2) for x in stack)
-    cond_f = (
-        space_to_depth(cond_embedded.astype(dt), 2)
-        if cond_embedded is not None
-        else None
-    )
+    if folded_io:
+        xs_f = stack
+        cond_f = (
+            cond_embedded.astype(dt) if cond_embedded is not None else None
+        )
+    else:
+        xs_f = tuple(space_to_depth(x, 2) for x in stack)
+        cond_f = (
+            space_to_depth(cond_embedded.astype(dt), 2)
+            if cond_embedded is not None
+            else None
+        )
 
     use_dropout = dropout_prob > 0 and train
 
@@ -249,7 +365,7 @@ def apply_causal_stack(
         from vqvae3d_tpu.ops.causal_kernel import (
             causal_fused_ok,
             causal_stack_fused,
-            pack_causal_params,
+            pack_causal_union,
         )
 
         cb8 = jax.tree_util.tree_leaves(folded)[0].shape[-1]
@@ -257,14 +373,21 @@ def apply_causal_stack(
         if causal_fused_ok(
             xs_f[0].shape, dt, cb8, c8c, kernel_size=kernel_size
         ):
-            packed = pack_causal_params(folded)
-            *weights, has_cond = packed
+            weights = jax.vmap(pack_causal_union)(folded)
+            has_cond = cond_f is not None
             cf = (
                 cond_f
-                if cond_f is not None
+                if has_cond
                 else jnp.zeros((xs_f[0].shape[0], 1, 1, 1, 8), dt)
             )
-            ys = causal_stack_fused((has_cond, False), *xs_f, cf, *weights)
+            xu = jnp.concatenate(xs_f, axis=-1)
+            yu = causal_stack_fused((has_cond, False), xu, cf, *weights)
+            c8 = xs_f[0].shape[-1]
+            ys = tuple(
+                yu[..., s * c8 : (s + 1) * c8] for s in range(3)
+            )
+            if folded_io:
+                return ys
             return tuple(depth_to_space(y, 2) for y in ys)
     if use_dropout:
         assert rng is not None
@@ -291,4 +414,6 @@ def apply_causal_stack(
     if remat:
         body = jax.checkpoint(body)
     ys, _ = jax.lax.scan(body, xs_f, xs)
+    if folded_io:
+        return ys
     return tuple(depth_to_space(y, 2) for y in ys)
