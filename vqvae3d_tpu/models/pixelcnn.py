@@ -74,7 +74,16 @@ class PixelCNN(nn.Module):
         data: jax.Array,  # (B, s0, s1, s2, input_dim) one-hot (or mixup-soft)
         condition: Optional[jax.Array] = None,  # (B, s0, s1, s2, condition_dim)
         train: bool = False,
+        folded_logits: bool = False,
     ) -> jax.Array:
+        """condition may arrive at the COARSER grid (the next level's code
+        grid, one-hot): since the 1x1 embedding is affine and trilinear
+        upsampling preserves constants, embed-then-upsample equals the
+        reference's upsample-then-embed (pixelcnn.py:116-119) exactly — and
+        moves the upsample from condition_dim channels to model_dim.
+        ``folded_logits=True`` returns logits in the 2x block-space layout
+        (B, s/2, s/2, s/2, 8*input_dim), lane order (phase, class) — only
+        when the block-space path is active (callers detect by shape)."""
         cfg = self.config
         assert (condition is not None) == cfg.use_conditioning
 
@@ -127,9 +136,26 @@ class PixelCNN(nn.Module):
                     use_bias=True,
                     name="embed_condition",
                 )()
-                cond_f = folded_1x1(
-                    space_to_depth(condition.astype(cfg.dtype), 2), wec, bec
-                )
+                if condition.shape[1:4] != data.shape[1:4]:
+                    # coarse one-hot: embed tiny, upsample model_dim, fold
+                    from vqvae3d_tpu.ops.resize import trilinear_resize
+
+                    cemb = (
+                        jnp.einsum(
+                            "bdhwk,ko->bdhwo",
+                            condition.astype(cfg.dtype),
+                            wec[0, 0, 0],
+                        )
+                        + bec.astype(cfg.dtype)
+                    )
+                    cemb = trilinear_resize(cemb, data.shape[1:4])
+                    cond_f = space_to_depth(cemb.astype(cfg.dtype), 2)
+                else:
+                    cond_f = folded_1x1(
+                        space_to_depth(condition.astype(cfg.dtype), 2),
+                        wec,
+                        bec,
+                    )
 
             dropout_on = train and cfg.dropout_prob > 0
             pa = CausalPreActParamsA(
@@ -181,8 +207,20 @@ class PixelCNN(nn.Module):
                 use_bias=True,
                 name="parse_output",
             )()
-            logits = depth_to_space(folded_1x1(out_f, wpo, bpo), 2)
-            return logits.astype(jnp.float32)
+            logits_f = folded_1x1(out_f, wpo, bpo)
+            if folded_logits:
+                return logits_f.astype(jnp.float32)
+            return depth_to_space(logits_f, 2).astype(jnp.float32)
+
+        if (
+            cfg.use_conditioning
+            and condition.shape[1:4] != data.shape[1:4]
+        ):
+            # naive path with a coarse condition: reproduce the reference
+            # order (upsample the one-hot, then embed)
+            from vqvae3d_tpu.ops.resize import trilinear_resize
+
+            condition = trilinear_resize(condition, data.shape[1:4])
 
         h = Conv3D(
             features=cfg.model_dim, kernel_size=1, dtype=cfg.dtype, name="parse_input"

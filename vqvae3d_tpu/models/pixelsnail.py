@@ -63,9 +63,22 @@ class PixelSNAIL(nn.Module):
         data: jax.Array,  # (B, s0, s1, s2, input_dim) one-hot
         condition: Optional[jax.Array] = None,
         train: bool = False,
+        folded_logits: bool = False,  # accepted for loss-API parity with
+        #                               PixelCNN; PixelSNAIL grids are tiny
+        #                               (S ≤ 8192) so block space never pays
     ) -> jax.Array:
         cfg = self.config
         assert (condition is not None) == cfg.use_conditioning
+        del folded_logits
+
+        if (
+            cfg.use_conditioning
+            and condition.shape[1:4] != data.shape[1:4]
+        ):
+            # coarse one-hot condition: reference order (upsample, embed)
+            from vqvae3d_tpu.ops.resize import trilinear_resize
+
+            condition = trilinear_resize(condition, data.shape[1:4])
 
         b, s0, s1, s2, _ = data.shape
         background = generate_background(b, (s0, s1, s2))

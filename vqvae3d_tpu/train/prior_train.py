@@ -28,7 +28,6 @@ from vqvae3d_tpu.models.prior_utils import (
     mixup_cross_entropy,
     mixup_data,
 )
-from vqvae3d_tpu.ops.resize import trilinear_resize
 from vqvae3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
 
@@ -60,10 +59,23 @@ def create_prior_train_state(model, rng, sample_batch: Dict, lr: float | None = 
 
 
 def _prep_condition(condition_idx, condition_dim: int, dims) -> jax.Array:
-    """int coarser grid → one-hot → trilinear-upsample to data dims
-    (reference pixelcnn.py:116-119)."""
-    one_hot = idx_to_one_hot(condition_idx, condition_dim)
-    return trilinear_resize(one_hot, dims)
+    """int coarser grid → one-hot. The trilinear upsample to the data dims
+    (reference pixelcnn.py:116-119) happens INSIDE the model, after the
+    1x1 embedding — exactly equivalent (the embedding is affine and
+    trilinear interpolation preserves constants) and ~condition_dim/
+    model_dim times less resize traffic. The models upsample the one-hot
+    first when handed a full-resolution condition, so both call
+    conventions work."""
+    del dims
+    return idx_to_one_hot(condition_idx, condition_dim)
+
+
+def _fold_voxelwise(t: jax.Array) -> jax.Array:
+    """(B, s0, s1, s2) voxel map → its 2x block-space layout
+    (B, s0/2, s1/2, s2/2, 8), phase order matching space_to_depth lanes."""
+    from vqvae3d_tpu.ops.resize import space_to_depth
+
+    return space_to_depth(t[..., None], 2)
 
 
 def prior_loss_fn(
@@ -95,8 +107,23 @@ def prior_loss_fn(
 
     rngs = {"dropout": rng} if (train and rng is not None) else None
     logits = model.apply(
-        {"params": params}, model_input, condition, train=train, rngs=rngs
+        {"params": params},
+        model_input,
+        condition,
+        train=train,
+        rngs=rngs,
+        folded_logits=True,
     )
+
+    eval_idx = data_idx
+    if logits.shape[1:4] != data_idx.shape[1:4]:
+        # the model kept its block-space layout: (B, s/2³, 8*K), lane
+        # order (phase, class). The loss is voxel-pointwise, so it
+        # computes EXACTLY in this layout — fold the targets instead of
+        # unfolding a full-resolution input_dim-wide logits volume.
+        logits = logits.reshape(*logits.shape[:4], 8, cfg.input_dim)
+        targets = jax.tree_util.tree_map(_fold_voxelwise, targets)
+        eval_idx = _fold_voxelwise(data_idx)
 
     unreduced = loss_per_voxel_fn(logits, targets)
     loss = jnp.mean(unreduced)
@@ -110,7 +137,7 @@ def prior_loss_fn(
     }
     if not train:
         pred = jnp.argmax(logits, axis=-1)
-        log["accuracy"] = jnp.mean((pred == data_idx).astype(jnp.float32))
+        log["accuracy"] = jnp.mean((pred == eval_idx).astype(jnp.float32))
     return loss, log
 
 
