@@ -304,10 +304,24 @@ def test_stack_streaming():
         sk._MAX_VOLUME_BYTES = cap
 
 
+def test_flash_dropout():
+    """Pallas flash attention with IN-KERNEL logit dropout
+    (ops/flash_dropout_attention.py): runs the pytest module that the CPU
+    suite must skip (the hardware PRNG has no interpret lowering)."""
+    import pytest
+
+    os.environ["VQVAE3D_TPU_TESTS"] = "1"  # keep conftest off the platform
+    rc = pytest.main(
+        ["-x", "-q", os.path.join(REPO, "tests", "test_flash_dropout.py")]
+    )
+    check("flash-dropout pytest module", float(rc != 0), 0.0)
+
+
 ALL = {
     "argmin": test_argmin,
     "flash": test_flash_attention,
     "chunked": test_chunked_attention,
+    "flash_dropout": test_flash_dropout,
     "fused_block": test_fused_block,
     "stack": test_stack_kernel,
     "stack_streaming": test_stack_streaming,

@@ -23,6 +23,7 @@ current voxel's already-computed streams.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -761,6 +762,34 @@ class CausalAttention(nn.Module):
             kh = k.reshape(b, seq, nh, dh).transpose(0, 2, 1, 3)
             vh = v.reshape(b, seq, nh, cv // nh).transpose(0, 2, 1, 3)
             out = _flash_causal_attention(qh, kh, vh, sm_scale)
+            return out.transpose(0, 2, 1, 3).reshape(b, s0, s1, s2, cv)
+
+        # Dropout-active TPU train path: Pallas flash kernel with IN-KERNEL
+        # logit dropout (ops/flash_dropout_attention.py) — the reference's
+        # pre-mask dropout quirk without the chunked path's ~100x slice/
+        # while-loop overhead at S=8192. VQVAE3D_FLASH_DROPOUT=0 falls back
+        # to the XLA chunked path.
+        if (
+            dropout_active
+            and self.use_flash != "never"
+            and jax.default_backend() == "tpu"
+            and cv == ck
+            and seq > _DENSE_MAX_SEQ
+            and os.environ.get("VQVAE3D_FLASH_DROPOUT") != "0"
+        ):
+            from vqvae3d_tpu.ops.flash_dropout_attention import (
+                flash_causal_dropout_attention,
+                seed_from_rng,
+            )
+
+            seed = seed_from_rng(self.make_rng("dropout"))
+            qh = q.reshape(b, seq, nh, dh).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, seq, nh, dh).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, seq, nh, cv // nh).transpose(0, 2, 1, 3)
+            out = flash_causal_dropout_attention(
+                qh, kh, vh, sm_scale,
+                dropout_p=self.dropout_prob, seed=seed,
+            )
             return out.transpose(0, 2, 1, 3).reshape(b, s0, s1, s2, cv)
 
         if self.use_chunked == "always":
