@@ -9,7 +9,7 @@ profile shows it is ~100x off the compute roofline: ~400 tiny `while`
 loops per step whose bodies are dominated by dynamic-slice/broadcast
 HBM traffic (async-copy 39% of device time, mid config 571 ms/step).
 
-This module is the real fix: one Pallas kernel per pass (fwd, dq, dkv),
+This module is the real fix: two Pallas kernels (fwd; combined dq+dk+dv),
 everything VMEM-resident per (batch·head) grid cell, with the dropout
 mask generated ON CORE by the TPU hardware PRNG (pltpu.prng_seed /
 prng_random_bits) — zero HBM traffic for ~13G mask bits per step at the
@@ -26,9 +26,12 @@ p=0.5 (threshold 2^31). Like the chunked path, the bit stream differs
 from the dense path's jax.random.bernoulli for the same rng; dropout=0
 is parity-testable against the dense path (tests/test_flash_dropout.py).
 
-The backward is the standard two-kernel flash split (dq over q-blocks,
-dk/dv over k-blocks) with per-tile forward recompute from the saved
-(out, lse) — no logit tile is ever materialized in HBM. `collect_mask`
+The backward is ONE kernel over k-blocks computing dq, dk and dv together
+— each logit tile's recompute (dot, PRNG mask, exp) happens exactly once,
+vs twice in the classic dq/dkv split; dq accumulates in a persistent VMEM
+scratch across the k grid steps and flushes at the last one. Per-tile
+forward recompute uses the saved (out, lse); no logit tile is ever
+materialized in HBM. `collect_mask`
 (debug, small S only) additionally writes the keep mask so tests can
 build a dense reference with the *kernel's own* mask and check fwd and
 all three grads exactly.
@@ -46,6 +49,11 @@ from jax.experimental import pallas as pl
 import jax.experimental.pallas.tpu as pltpu
 
 NEG_BIG = -1e3  # reference layers.py:639 masked_fill value
+
+# Headroom over the default 16 MB scoped-vmem limit: small head dims pad
+# to 128 lanes (dh=8 at the mid level -> 16x), and the combined backward
+# keeps a full-sequence fp32 dq accumulator resident.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -82,7 +90,13 @@ def _tile_keep(seed, tile_id, blk, dropout_p):
 def _dropped_masked_logits(qbs, kb, seed, tile_id, qi, ki, blk, dropout_p):
     """Recomputes one logit tile exactly as the forward saw it:
     scaled q·k^T (fp32 accum) -> dropout (pre-mask, reference quirk)
-    -> causal mask. Returns (logits, keep)."""
+    -> causal mask. Returns (logits, keep).
+
+    The causal mask only has an effect on the DIAGONAL tile, but gating it
+    behind ``lax.cond(qi == ki, ...)`` measured SLOWER (fwd 2.6 -> 3.4 ms
+    at mid-level shapes): the branch blocks Mosaic's software pipelining
+    of the k-loop, which costs more than the saved iota/compare VPU work.
+    So the mask runs unconditionally."""
     logits = lax.dot_general(
         qbs, kb, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -92,6 +106,7 @@ def _dropped_masked_logits(qbs, kb, seed, tile_id, qi, ki, blk, dropout_p):
     if dropout_p > 0.0:
         keep = _tile_keep(seed, tile_id, blk, dropout_p)
         logits = jnp.where(keep, logits * (1.0 / (1.0 - dropout_p)), NEG_BIG)
+
     q_idx = qi * blk + lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
     k_idx = ki * blk + lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
     logits = jnp.where(q_idx >= k_idx, logits, -jnp.inf)
@@ -148,62 +163,35 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *mask_ref,
     lse_ref[0] = jnp.broadcast_to((m + jnp.log(l))[None, :], (8, lse_ref.shape[-1]))
 
 
-def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, *, blk, nqb, nkb, sm_scale, dropout_p):
-    bh = pl.program_id(0)
-    qi = pl.program_id(1)
-    dh = q_ref.shape[-1]
-    cdt = q_ref.dtype
-    qbs = _scale_q(q_ref[0], sm_scale)
-    do_b = do_ref[0].astype(cdt)
-    lse_row = lse_ref[0, 0][:, None]
-    delta_row = delta_ref[0, 0][:, None]
-    seed = seed_ref[0]
-    inv_keep = 1.0 / (1.0 - dropout_p) if dropout_p > 0.0 else 1.0
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dq_ref, dk_ref, dv_ref, dq_acc_ref, *,
+                blk, nqb, nkb, sm_scale, dropout_p):
+    """Combined dq + dk + dv in ONE pass: each logit tile is recomputed
+    (dot, PRNG mask, exp) exactly once — the kernel is elementwise-bound,
+    so halving the recompute beats the classic two-kernel split.
 
-    def body(ki, dq_acc):
-        kb = k_ref[0, pl.ds(ki * blk, blk), :]
-        vb = v_ref[0, pl.ds(ki * blk, blk), :]
-        tile_id = (bh * nqb + qi) * nkb + ki
-        logits, keep = _dropped_masked_logits(
-            qbs, kb, seed, tile_id, qi, ki, blk, dropout_p
-        )
-        p = jnp.exp(logits - lse_row)  # causally-masked -> exp(-inf) = 0
-        dp = lax.dot_general(
-            do_b, vb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_prec(do_b.dtype),
-        )
-        ds = p * (dp - delta_row)
-        if dropout_p > 0.0:
-            ds = jnp.where(keep, ds * inv_keep, 0.0)
-        return dq_acc + lax.dot_general(
-            ds.astype(cdt), kb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_prec(cdt),
-        )
-
-    dq0 = jnp.zeros((blk, dh), jnp.float32)
-    dq = lax.fori_loop(0, qi + 1, body, dq0)
-    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
-
-
-def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, blk, nqb, nkb, sm_scale, dropout_p):
+    Grid is (BH, ki); dq accumulates across the ki steps in a persistent
+    VMEM scratch (NOT the output block: reading an output block back per
+    grid step forces an HBM round-trip — measured +150 ms/step at the mid
+    level) and is written to the dq output once, at the last ki."""
     bh = pl.program_id(0)
     ki = pl.program_id(1)
-    dh = q_ref.shape[-1]
     dv = v_ref.shape[-1]
+    dh = q_ref.shape[-1]
     cdt = q_ref.dtype
     kb = k_ref[0]
     vb = v_ref[0]
     seed = seed_ref[0]
     inv_keep = 1.0 / (1.0 - dropout_p) if dropout_p > 0.0 else 1.0
 
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc_ref[:] = jnp.zeros((nqb * blk, dh), jnp.float32)
+
     def body(qi, carry):
         dk_acc, dv_acc = carry
         # qbs is the scaled q, so dk_acc = ds^T (s·q) = s · ds^T q — the
-        # sm_scale is already folded in (dq folds it at the store instead).
+        # sm_scale is already folded in (dq scales per-tile instead).
         qbs = _scale_q(q_ref[0, pl.ds(qi * blk, blk), :], sm_scale)
         do_b = do_ref[0, pl.ds(qi * blk, blk), :].astype(cdt)
         lse_row = lse_ref[0, 0, pl.ds(qi * blk, blk)][:, None]
@@ -212,7 +200,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         logits, keep = _dropped_masked_logits(
             qbs, kb, seed, tile_id, qi, ki, blk, dropout_p
         )
-        p = jnp.exp(logits - lse_row)
+        p = jnp.exp(logits - lse_row)  # causally-masked -> exp(-inf) = 0
         dv_acc = dv_acc + lax.dot_general(
             p.astype(cdt), do_b, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -231,6 +219,12 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             preferred_element_type=jnp.float32,
             precision=_prec(cdt),
         )
+        dq_tile = lax.dot_general(
+            ds.astype(cdt), kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(cdt),
+        )
+        dq_acc_ref[pl.ds(qi * blk, blk), :] += dq_tile * sm_scale
         return dk_acc, dv_acc
 
     dk0 = jnp.zeros((blk, dh), jnp.float32)
@@ -238,6 +232,10 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk, dvv = lax.fori_loop(ki, nqb, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dvv.astype(dv_ref.dtype)
+
+    @pl.when(ki == nkb - 1)
+    def _flush():
+        dq_ref[0] = dq_acc_ref[:].astype(dq_ref.dtype)
 
 
 def _block_layout(s: int, block: int):
@@ -286,6 +284,7 @@ def _fwd_call(q, k, v, seed, sm_scale, dropout_p, block, collect_mask=False):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=_COMPILER_PARAMS,
     )(seed, q, k, v)
     return res
 
@@ -296,46 +295,33 @@ def _bwd_call(q, k, v, do, lse, delta, seed, sm_scale, dropout_p, block):
     blk = block
     n = sp // blk
     common = dict(blk=blk, nqb=n, nkb=n, sm_scale=sm_scale, dropout_p=dropout_p)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        None,  # q — filled per kernel
-        None,  # k
-        None,  # v
-        None,  # do
-        None,  # lse
-        None,  # delta
-    ]
     full = lambda d: pl.BlockSpec((1, sp, d), lambda bh, i: (bh, 0, 0))
     tile = lambda d: pl.BlockSpec((1, blk, d), lambda bh, i: (bh, i, 0))
     row_full = pl.BlockSpec((1, 8, sp), lambda bh, i: (bh, 0, 0))
-    row_tile = pl.BlockSpec((1, 8, blk), lambda bh, i: (bh, 0, i))
 
-    dq_specs = list(in_specs)
-    dq_specs[1:] = [tile(dh), full(dh), full(dv), tile(dv), row_tile, row_tile]
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, **common),
+    dq, dk, dvv = pl.pallas_call(
+        functools.partial(_bwd_kernel, **common),
         grid=(bhn, n),
-        in_specs=dq_specs,
-        out_specs=pl.BlockSpec((1, blk, dh), lambda bh, qi: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bhn, sp, dh), q.dtype),
-    )(seed, q, k, v, do, lse, delta)
-
-    dkv_specs = list(in_specs)
-    dkv_specs[1:] = [full(dh), tile(dh), tile(dv), full(dv), row_full, row_full]
-    dk, dvv = pl.pallas_call(
-        functools.partial(_dkv_kernel, **common),
-        grid=(bhn, n),
-        in_specs=dkv_specs,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            full(dh), tile(dh), tile(dv), full(dv), row_full, row_full,
+        ],
         out_specs=[
+            # dq: constant index_map along ki — VMEM-resident accumulator
+            # for the whole bh row (fp32; cast by the caller)
+            pl.BlockSpec((1, sp, dh), lambda bh, ki: (bh, 0, 0)),
             pl.BlockSpec((1, blk, dh), lambda bh, ki: (bh, ki, 0)),
             pl.BlockSpec((1, blk, dv), lambda bh, ki: (bh, ki, 0)),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((bhn, sp, dh), jnp.float32),
             jax.ShapeDtypeStruct((bhn, sp, dh), q.dtype),
             jax.ShapeDtypeStruct((bhn, sp, dv), v.dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((sp, dh), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
     )(seed, q, k, v, do, lse, delta)
-    return dq, dk, dvv
+    return dq.astype(q.dtype), dk, dvv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
