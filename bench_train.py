@@ -75,10 +75,15 @@ def bench_train(res: int, steps: int = 3):
     )
     train_step = make_train_step(model, donate=False)
     rng = np.random.default_rng(0)
+    vol = rng.uniform(-0.5, 4.0, (1, res, res, depth, 1)).astype(np.float32)
+    if cfg.stem_space_to_depth > 1:
+        # match the train CLI feed path: host-pre-folded volumes
+        # (CTDataModule fold=f / fold_volume_np)
+        from vqvae3d_tpu.data.ct_dataset import fold_volume_np
+
+        vol = fold_volume_np(vol, cfg.stem_space_to_depth)
     batch = {
-        "volume": jnp.asarray(
-            rng.uniform(-0.5, 4.0, (1, res, res, depth, 1)), jnp.bfloat16
-        ),
+        "volume": jnp.asarray(vol, jnp.bfloat16),
         "num_valid_slices": jnp.full((1,), depth, jnp.int32),
     }
 

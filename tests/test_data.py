@@ -192,3 +192,52 @@ def test_device_prefetch():
     for i, b in enumerate(out):
         assert isinstance(b["x"], jax.Array)
         np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2, 2), i))
+
+
+def test_fold_volume_np_matches_space_to_depth():
+    """Host-side pre-fold must be bit-identical to the in-jit stem fold."""
+    import jax.numpy as jnp
+    from vqvae3d_tpu.data.ct_dataset import fold_volume_np
+    from vqvae3d_tpu.ops.resize import space_to_depth
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(2, 8, 8, 4, 1)).astype(np.float32)
+    got = fold_volume_np(v, 2)
+    want = np.asarray(space_to_depth(jnp.asarray(v), 2))
+    np.testing.assert_array_equal(got, want)
+    # factor 1 is the identity
+    assert fold_volume_np(v, 1) is v
+
+
+def test_dataloader_fold_param(tmp_path):
+    """train_dataloader(fold=f) yields pre-folded volumes whose unfold
+    round-trips exactly."""
+    import jax.numpy as jnp
+    from vqvae3d_tpu.data import nrrd_io
+    from vqvae3d_tpu.data.ct_dataset import CTDataModule
+    from vqvae3d_tpu.ops.resize import depth_to_space
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        vol = rng.integers(-1000, 2000, size=(16, 16, 6)).astype(np.int16)
+        nrrd_io.write(
+            str(tmp_path / f"s{i}.nrrd"),
+            vol,
+            header={"spacings": (0.976, 0.976, 3.0)},
+        )
+    dm = CTDataModule(
+        str(tmp_path),
+        batch_size=1,
+        train_frac=1.0,
+        num_workers=1,
+        output_depth=8,
+        size=(16, 16, None),
+    )
+    plain = next(iter(dm.train_dataloader(fold=1)))
+    folded = next(iter(dm.train_dataloader(fold=2)))
+    assert folded["volume"].shape == (1, 8, 8, 4, 8)
+    unfolded = np.asarray(depth_to_space(jnp.asarray(folded["volume"]), 2))
+    np.testing.assert_array_equal(unfolded, plain["volume"])
+    np.testing.assert_array_equal(
+        folded["num_valid_slices"], plain["num_valid_slices"]
+    )

@@ -268,3 +268,57 @@ def test_k4s2_odd_dims_falls_back():
     ref = _direct_conv(xp, w, 2)
     got = conv3d(x, w, stride=2, padding=[(1, 1), (0, 1), (1, 2)])
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+class TestResizeConvComposite:
+    """resize_conv_s2d (upsample composed into the conv) must equal the
+    two-step path (upsample2x_to_s2d + block conv) bit-for-bit in fp32,
+    including all 26 border regions and both pad modes."""
+
+    def _two_step(self, x, w, pad_mode):
+        from vqvae3d_tpu.ops.resize import upsample2x_to_s2d
+        from vqvae3d_tpu.ops.conv3d import conv3d
+        from vqvae3d_tpu.ops.s2d_conv import (
+            conv1x1_block_kernel,
+            k3s1_block_kernel,
+        )
+
+        xs = upsample2x_to_s2d(x)
+        if w.shape[0] == 3:
+            return conv3d(
+                xs, k3s1_block_kernel(w), padding=[(1, 1)] * 3, pad_mode=pad_mode
+            )
+        return conv3d(xs, conv1x1_block_kernel(w))
+
+    @pytest.mark.parametrize("pad_mode", ["zeros", "wrap"])
+    @pytest.mark.parametrize("k", [1, 3])
+    @pytest.mark.parametrize("dims", [(4, 6, 2), (2, 2, 2), (8, 4, 6), (4, 4, 1)])
+    def test_exact(self, pad_mode, k, dims):
+        from vqvae3d_tpu.ops.s2d_conv import resize_conv_s2d
+
+        rng = np.random.default_rng(hash((pad_mode, k, dims)) % 2**31)
+        cin, cout = 5, 3
+        x = jnp.asarray(rng.normal(size=(2, *dims, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, k, k, cin, cout)), jnp.float32)
+        got = resize_conv_s2d(x, w, pad_mode)
+        want = self._two_step(x, w, pad_mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_grads_match(self):
+        from vqvae3d_tpu.ops.s2d_conv import resize_conv_s2d
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 3)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 2)), jnp.float32)
+        g = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 16)), jnp.float32)
+
+        def f_new(x, w):
+            return jnp.vdot(resize_conv_s2d(x, w, "zeros"), g)
+
+        def f_old(x, w):
+            return jnp.vdot(self._two_step(x, w, "zeros"), g)
+
+        gx_n, gw_n = jax.grad(f_new, argnums=(0, 1))(x, w)
+        gx_o, gw_o = jax.grad(f_old, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_o), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(gw_n), np.asarray(gw_o), atol=3e-5)

@@ -112,6 +112,75 @@ def test_train_step_bf16():
     assert state1.params["encoder"]["parse_input"]["kernel"].dtype == jnp.float32
 
 
+def test_remat_blocks_equivalence():
+    """The outer DownBlock/UpBlock nn.remat wrapper (remat_blocks) must not
+    change the math: losses and gradients are identical with and without it
+    (remat only trades recompute for saved activations)."""
+    from vqvae3d_tpu.train.vqvae_train import vqvae_loss_fn
+
+    batch = _batch(b=1)
+    grads = {}
+    for rb in (False, True):
+        cfg = VQVAEConfig(
+            n_bottleneck_blocks=2,
+            num_embeddings=(8, 16),
+            dtype=jnp.float32,
+            remat=True,
+            remat_blocks=rb,
+        )
+        model = VQVAE(cfg)
+        state = create_vqvae_train_state(model, KEY, np.zeros((1, 32, 32, 16, 1)))
+
+        def loss(params):
+            out, _ = vqvae_loss_fn(
+                model, params, state.quantizer, batch, train=True
+            )
+            return out
+
+        val, g = jax.jit(jax.value_and_grad(loss))(state.params)
+        grads[rb] = (float(val), g)
+    np.testing.assert_allclose(grads[False][0], grads[True][0], rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        grads[False][1],
+        grads[True][1],
+    )
+
+
+def test_prefolded_batch_equivalence():
+    """Feeding the train step a host-pre-folded volume (CTDataModule
+    fold=f) must give the identical loss/grads as the in-jit fold."""
+    from vqvae3d_tpu.data.ct_dataset import fold_volume_np
+    from vqvae3d_tpu.train.vqvae_train import vqvae_loss_fn
+
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=2,
+        num_embeddings=(8, 16),
+        dtype=jnp.float32,
+        remat=False,
+        stem_space_to_depth=2,
+        base_network_channels=8,
+    )
+    model = VQVAE(cfg)
+    batch = _batch(b=1)
+    state = create_vqvae_train_state(model, KEY, np.zeros((1, 32, 32, 16, 1)))
+    pre = {
+        "volume": jnp.asarray(fold_volume_np(np.asarray(batch["volume"]), 2)),
+        "num_valid_slices": batch["num_valid_slices"],
+    }
+
+    def loss(params, b):
+        out, (_, log, _) = vqvae_loss_fn(model, params, state.quantizer, b, train=True)
+        return out
+
+    v0, g0 = jax.jit(jax.value_and_grad(loss))(state.params, batch)
+    v1, g1 = jax.jit(jax.value_and_grad(loss))(state.params, pre)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7), g0, g1
+    )
+
+
 def test_train_step_sharded_8dev(trained_setup):
     """Full train step jitted over an 8-device 'data' mesh (virtual CPU)."""
     model, state, _ = trained_setup

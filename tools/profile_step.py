@@ -133,8 +133,15 @@ def main():
     model = VQVAE(cfg)
     shape = (args.batch, args.res, args.res, args.depth, 1)
     rng = np.random.default_rng(0)
+    vol = rng.uniform(-0.5, 4.0, shape).astype(np.float32)
+    if not args.eval and args.stem > 1:
+        # match the train CLI's feed path: volumes arrive host-pre-folded
+        # (CTDataModule fold=f), so the in-jit C=1-minor relayout is gone
+        from vqvae3d_tpu.data.ct_dataset import fold_volume_np
+
+        vol = fold_volume_np(vol, args.stem)
     batch = {
-        "volume": jnp.asarray(rng.uniform(-0.5, 4.0, shape), jnp.bfloat16),
+        "volume": jnp.asarray(vol, jnp.bfloat16),
         "num_valid_slices": jnp.full((args.batch,), args.depth, jnp.int32),
     }
     f = cfg.stem_space_to_depth * 4**cfg.n_bottleneck_blocks

@@ -124,10 +124,15 @@ def main(args):
     step = int(state.step)
     epoch = 0
 
+    # pre-fold train batches to the stem's s2d layout on the decode threads
+    # (the in-jit fold is a C=1-minor relayout costing ~19 ms/step at
+    # 512-res); eval keeps full resolution (slice-SSIM needs it)
+    fold = int(getattr(model.config, "stem_space_to_depth", 1) or 1)
+
     with mesh:
         while step < args.max_steps:
             for batch in device_prefetch(
-                dm.train_dataloader(epoch=epoch, **proc_kw), mesh=mesh
+                dm.train_dataloader(epoch=epoch, fold=fold, **proc_kw), mesh=mesh
             ):
                 with timer:
                     state, log = train_step(state, batch)

@@ -129,6 +129,21 @@ def _area_rescale_np(vol: np.ndarray, size: Sequence[int]) -> np.ndarray:
     return out.astype(vol.dtype)
 
 
+def fold_volume_np(vols: np.ndarray, factor: int) -> np.ndarray:
+    """Host-side space_to_depth: (B, H, W, D, C) → (B, H/f, W/f, D/f, C·f³).
+
+    Bit-identical to ops/resize.space_to_depth (tested in tests/test_data.py)
+    so pre-folded batches feed the model's ``folded_io`` path exactly."""
+    if factor == 1:
+        return vols
+    b, h, w, d, c = vols.shape
+    f = factor
+    assert h % f == 0 and w % f == 0 and d % f == 0, (vols.shape, f)
+    v = vols.reshape(b, h // f, f, w // f, f, d // f, f, c)
+    v = v.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return np.ascontiguousarray(v).reshape(b, h // f, w // f, d // f, f**3 * c)
+
+
 class CTDataModule:
     """Split + batched iteration with background decode and prefetch."""
 
@@ -171,6 +186,7 @@ class CTDataModule:
         epoch: int = 0,
         process_index: int = 0,
         process_count: int = 1,
+        fold: int = 1,
     ) -> Iterator[dict]:
         """Iterate global batches; under multi-process each process decodes
         only its contiguous slice of every global batch (the TPU-native form
@@ -195,6 +211,13 @@ class CTDataModule:
             samples = [self.dataset[int(i)] for i in rows]
             vols = np.stack([s[0] for s in samples])
             nvs = np.array([s[1] for s in samples], np.int32)
+            if fold > 1:
+                # pre-fold to the stem's space-to-depth layout on the
+                # decode threads: the in-jit fold of a (512,512,128,1)
+                # volume is a strided relayout XLA executes at ~1/50th of
+                # HBM bandwidth (~19 ms/step of core time at 512-res —
+                # PERF.md); here it's hidden behind the batch prefetch.
+                vols = fold_volume_np(vols, fold)
             return {"volume": vols, "num_valid_slices": nvs}
 
         with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
@@ -210,7 +233,11 @@ class CTDataModule:
                 yield batch
 
     def train_dataloader(
-        self, epoch: int = 0, process_index: int = 0, process_count: int = 1
+        self,
+        epoch: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        fold: int = 1,
     ) -> Iterator[dict]:
         return self._iter(
             self.train_indices,
@@ -218,6 +245,7 @@ class CTDataModule:
             epoch=epoch,
             process_index=process_index,
             process_count=process_count,
+            fold=fold,
         )
 
     def val_dataloader(

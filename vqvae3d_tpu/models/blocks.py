@@ -190,16 +190,10 @@ class ResizeConv3D(nn.Module):
             )()
             if self.dtype is not None:
                 x = x.astype(self.dtype)
-            xs = upsample2x_to_s2d(x)
-            if k == 3:
-                out = conv3d(
-                    xs,
-                    k3s1_block_kernel(w.astype(xs.dtype)),
-                    padding=[(1, 1)] * 3,
-                    pad_mode=self.pad_mode,
-                )
-            else:
-                out = conv3d(xs, conv1x1_block_kernel(w.astype(xs.dtype)))
+            # upsample COMPOSED into the conv (ops/s2d_conv.resize_conv_s2d):
+            # one coarse-grid conv contracting Cin lanes — 8× fewer FLOPs and
+            # no materialized upsample vs upsample2x_to_s2d + block conv
+            out = s2d_conv.resize_conv_s2d(x, w.astype(x.dtype), self.pad_mode)
             if b is not None:
                 out = out + jnp.tile(b.astype(out.dtype), 8)
             return depth_to_space(out, 2)
@@ -681,6 +675,15 @@ def apply_same_stack(
     """
     if n_blocks == 0:
         return x
+    # Per-iteration checkpointing only pays off for DEEP stacks: it caps the
+    # live set at ~1 block but its backward re-runs every block forward. For
+    # the short post-down/up-scale stacks (2-5 blocks) the saved memory is a
+    # few volumes while the recompute is ~half the stack's backward cost
+    # (profiled: the 512-res decoder up_0 3-block scan spent 44.7 ms in
+    # backward, ~60% of it recompute — PERF.md). 8 is well below any
+    # pre/post-quantization depth (50-150) and above every up/down stack.
+    if remat and n_blocks < 8:
+        remat = False
     use_packed = (
         enabled
         and x.ndim == 5

@@ -69,6 +69,17 @@ class VQVAEConfig:
     extract_center_cylinder: bool = True
     dtype: Any = jnp.bfloat16
     remat: bool = True
+    # Outer nn.remat around whole DownBlock/UpBlock wrappers. OFF by
+    # default: with ``remat`` on, live activations are already bounded by
+    # the inner per-block / per-scan-iteration checkpointing (and the stack
+    # megakernel's own saves), so the outer wrapper only NESTS remat — its
+    # backward re-runs the entire block forward once more before the scan's
+    # per-iteration recompute even starts. Measured on v5e at the 512-res
+    # full config: the decoder's non-kernel backward cost 190 ms against a
+    # 41 ms forward (~4.8× recompute); dropping the outer wrapper trades
+    # ~1 GB of saved block-boundary activations for that duplicate forward.
+    # Set True for memory-tight configs (e.g. the literal C=4 stem).
+    remat_blocks: bool = False
     argmin_method: str = "auto"
     # 'wrap' = reference-parity circular padding (vqvae/layers.py:109);
     # 'zeros' recommended for training from scratch at 512-res (avoids the
@@ -220,7 +231,9 @@ class Encoder(nn.Module):
     def __call__(self, x, train: bool = False, folded_io: bool = False):
         cfg = self.config
         nl = cfg.num_layers
-        down_cls = _maybe_remat(DownBlock, cfg.remat, cfg.remat_policy)
+        down_cls = _maybe_remat(
+            DownBlock, cfg.remat and cfg.remat_blocks, cfg.remat_policy
+        )
         block = RESBLOCKS[cfg.block_type]
         block_r = _maybe_remat(block, cfg.remat, cfg.remat_policy)
         block_kw = (
@@ -376,7 +389,9 @@ class Decoder(nn.Module):
         cfg = self.config
         nl = cfg.num_layers
         block_r = _maybe_remat(RESBLOCKS[cfg.block_type], cfg.remat, cfg.remat_policy)
-        up_cls = _maybe_remat(UpBlock, cfg.remat, cfg.remat_policy)
+        up_cls = _maybe_remat(
+            UpBlock, cfg.remat and cfg.remat_blocks, cfg.remat_policy
+        )
         block_kw = (
             {"pad_mode": cfg.pad_mode} if cfg.block_type == "pre-activation" else {}
         )

@@ -215,3 +215,208 @@ __all__ = [
     "block_stack_ok",
     "preact_fixup_same_block",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Composite ResizeConv: trilinear ×2 upsample ∘ conv as ONE coarse-grid conv
+# ---------------------------------------------------------------------------
+
+# Per-axis transfer tables for the ×2 trilinear upsample (align_corners
+# =False: fine 2j = 0.75·x[j] + 0.25·x[j-1], fine 2j+1 = 0.75·x[j] +
+# 0.25·x[j+1], borders CLAMPED) composed with a stride-1 fine-grid conv.
+# For output coarse row i, phase p, fine tap t, the fine sample 2i+p+t is a
+# linear combination of coarse rows; m = p+t selects the entry. Rows are
+# keyed by relative offset ('rel', s) in the interior and by absolute index
+# ('abs', 0|1|'first'|'last'|'last-1') at the borders; the conv's own
+# padding of the upsampled tensor supplies fine −1 / 2D (zero under
+# 'zeros', the wrapped clamped value under 'wrap').
+def _resize_axis_rows(mode: str, m: int, pad_mode: str):
+    if mode == "int":
+        return {
+            -1: [(("rel", -1), 0.75), (("rel", 0), 0.25)],
+            0: [(("rel", 0), 0.75), (("rel", -1), 0.25)],
+            1: [(("rel", 0), 0.75), (("rel", 1), 0.25)],
+            2: [(("rel", 1), 0.75), (("rel", 0), 0.25)],
+        }[m]
+    if mode == "lo":
+        return {
+            -1: [(("abs", "last"), 1.0)] if pad_mode == "wrap" else [],
+            0: [(("abs", 0), 1.0)],  # clamped: 0.75·x[0] + 0.25·x[-1→0]
+            1: [(("abs", 0), 0.75), (("abs", 1), 0.25)],
+            2: [(("abs", 1), 0.75), (("abs", 0), 0.25)],
+        }[m]
+    assert mode == "hi"
+    return {
+        -1: [(("abs", "last-1"), 0.75), (("abs", "last"), 0.25)],
+        0: [(("abs", "last"), 0.75), (("abs", "last-1"), 0.25)],
+        1: [(("abs", "last"), 1.0)],  # clamped
+        2: [(("abs", "first"), 1.0)] if pad_mode == "wrap" else [],
+    }[m]
+
+
+def _resize_combo_kernel(w, modes, pad_mode: str):
+    """Tap-indexed composite kernel for one border combo.
+
+    Returns {(row_key1, row_key2, row_key3): (Cin, 8·Cout) matrix} where the
+    composite output at phase (p1,p2,p3) sums x[row1,row2,row3] @ M over the
+    keys. ``w`` is the fine-grid (K,K,K,Cin,Cout) kernel (K ∈ {1,3})."""
+    K = w.shape[0]
+    cin, cout = w.shape[-2:]
+    taps = list(range(-1, 2)) if K == 3 else [0]
+    acc = {}  # (row_key1, row_key2, row_key3) -> {phase: coef·w sum}
+    for p1 in range(2):
+        for p2 in range(2):
+            for p3 in range(2):
+                ph = (p1 * 2 + p2) * 2 + p3
+                for i1, t1 in enumerate(taps):
+                    r1s = _resize_axis_rows(modes[0], p1 + t1, pad_mode)
+                    for i2, t2 in enumerate(taps):
+                        r2s = _resize_axis_rows(modes[1], p2 + t2, pad_mode)
+                        for i3, t3 in enumerate(taps):
+                            r3s = _resize_axis_rows(modes[2], p3 + t3, pad_mode)
+                            wt = w[i1, i2, i3]  # (Cin, Cout)
+                            for k1, c1 in r1s:
+                                for k2, c2 in r2s:
+                                    for k3, c3 in r3s:
+                                        phs = acc.setdefault((k1, k2, k3), {})
+                                        phs[ph] = (
+                                            phs.get(ph, 0.0) + (c1 * c2 * c3) * wt
+                                        )
+    zero = jnp.zeros((cin, cout), w.dtype)
+    return {
+        key: jnp.concatenate(
+            [phs.get(ph, zero) for ph in range(8)], axis=-1
+        )  # (Cin, 8·Cout), phase-major channel order == space_to_depth
+        for key, phs in acc.items()
+    }
+
+
+def resize_conv_s2d(x: jax.Array, w: jax.Array, pad_mode: str) -> jax.Array:
+    """Trilinear-×2-upsample-then-conv as ONE conv on the coarse grid.
+
+    (B, D1, D2, D3, Cin) → (B, D1, D2, D3, 8·Cout) in space-to-depth layout:
+    exactly ``conv3d(upsample2x_to_s2d(x), stride1_block_kernel-of-w)`` —
+    i.e. the reference ResizeConv3D (vqvae/layers.py:591-597) in block space
+    — but with the fixed trilinear weights COMPOSED into the learned kernel.
+    The upsampled 8·Cin-lane tensor never exists and the conv contracts Cin
+    instead of 8·Cin lanes: 8× fewer FLOPs and ~8× less input traffic than
+    the fine-grid block conv (profiled: the decoder's 512-res UpBlock paid
+    ~12 ms/step just materializing the upsample — PERF.md).
+
+    Border exactness: the upsample CLAMPS at volume borders while the fine
+    conv pads with zeros ('zeros') or circularly ('wrap'), so border output
+    planes obey different effective kernels. The interior runs as one VALID
+    conv; the 26 face/edge/corner regions are overwritten with their own
+    composed kernels (plane/line/point-sized dots — negligible).
+
+    Supports K ∈ {1, 3} (the only sizes the reference uses). Exactness is
+    tested against the two-step path in tests/test_s2d_conv.py.
+    """
+    assert w.shape[0] == w.shape[1] == w.shape[2] and w.shape[0] in (1, 3), (
+        w.shape
+    )
+    assert x.ndim == 5, x.shape
+    dims = x.shape[1:4]
+    cin, cout = w.shape[-2:]
+    if any(d < 2 for d in dims):
+        # single-row axes make lo/hi border modes coincide; these grids are
+        # tiny (deepest-level code grids) — take the two-step path
+        from vqvae3d_tpu.ops.resize import upsample2x_to_s2d
+
+        xs = upsample2x_to_s2d(x)
+        if w.shape[0] == 3:
+            return conv3d(
+                xs,
+                k3s1_block_kernel(w.astype(xs.dtype)),
+                padding=[(1, 1)] * 3,
+                pad_mode=pad_mode,
+            )
+        return conv3d(xs, conv1x1_block_kernel(w.astype(xs.dtype)))
+    dt = x.dtype
+    w = w.astype(dt)
+
+    # interior: ONE valid conv covering output rows [1, D-2] per axis
+    w_int_taps = _resize_combo_kernel(w, ("int", "int", "int"), pad_mode)
+    # assemble the (3,3,3,Cin,8Cout) kernel from the rel-keyed taps
+    w_int = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            w_int_taps.get(
+                                (("rel", s1), ("rel", s2), ("rel", s3)),
+                                jnp.zeros((cin, 8 * cout), dt),
+                            )
+                            for s3 in (-1, 0, 1)
+                        ]
+                    )
+                    for s2 in (-1, 0, 1)
+                ]
+            )
+            for s1 in (-1, 0, 1)
+        ]
+    )
+    interior = conv3d(x, w_int, padding=[(0, 0)] * 3)  # VALID
+    out = jnp.pad(interior, [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+
+    def row_index(key, n):
+        if key == "first":
+            return 0
+        if key == "last":
+            return n - 1
+        if key == "last-1":
+            return n - 2
+        return key  # 0 or 1
+
+    # border regions: every (mode1, mode2, mode3) ≠ all-interior
+    for m1 in ("lo", "int", "hi"):
+        for m2 in ("lo", "int", "hi"):
+            for m3 in ("lo", "int", "hi"):
+                modes = (m1, m2, m3)
+                if modes == ("int", "int", "int"):
+                    continue
+                # int axes need ≥1 interior row
+                if any(
+                    m == "int" and dims[a] < 3 for a, m in enumerate(modes)
+                ):
+                    continue
+                # lo/hi coincide at D=2 only if... they never coincide for
+                # D≥2 (rows 0 and D-1 differ); D<2 is asserted above.
+                kern = _resize_combo_kernel(w, modes, pad_mode)
+                region = None
+                for keys, mat in kern.items():
+                    idx = [slice(None)]  # batch
+                    src = x
+                    for a, (m, key) in enumerate(zip(modes, keys)):
+                        n = dims[a]
+                        if m == "int":
+                            s = key[1]
+                            idx.append(slice(1 + s, n - 1 + s))
+                        else:
+                            idx.append(
+                                slice(
+                                    row_index(key[1], n),
+                                    row_index(key[1], n) + 1,
+                                )
+                            )
+                    patch = src[tuple(idx) + (slice(None),)]
+                    term = jax.lax.dot_general(
+                        patch,
+                        mat,
+                        dimension_numbers=(((4,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    region = term if region is None else region + term
+                region = region.astype(dt)
+                oidx = [slice(None)]
+                for a, m in enumerate(modes):
+                    n = dims[a]
+                    if m == "int":
+                        oidx.append(slice(1, n - 1))
+                    elif m == "lo":
+                        oidx.append(slice(0, 1))
+                    else:
+                        oidx.append(slice(n - 1, n))
+                out = out.at[tuple(oidx) + (slice(None),)].set(region)
+    return out

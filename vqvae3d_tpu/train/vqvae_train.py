@@ -99,7 +99,6 @@ def vqvae_loss_fn(
     """
     x = batch["volume"]
     num_valid = batch["num_valid_slices"]
-    full_depth = x.shape[3]
 
     # Train-path loss runs entirely in the stem's space-to-depth layout:
     # every loss term is voxel-pointwise (or a permutation-invariant
@@ -111,7 +110,17 @@ def vqvae_loss_fn(
     if folded is None:
         folded = train and f > 1
     folded = folded and f > 1
-    if folded:
+    # The batch may arrive PRE-folded from the host pipeline
+    # (CTDataModule fold=f / fold_volume_np): the in-jit fold of a
+    # (512,512,128,1) volume is a C=1-minor strided relayout that costs
+    # ~19 ms of core time at 512-res (PERF.md). Detect by channel count —
+    # static at trace time.
+    out_ch = int(getattr(model.config, "output_channels", 1) or 1)
+    prefolded = f > 1 and x.shape[-1] == out_ch * f**3
+    if prefolded:
+        assert folded, "pre-folded batches require the folded train path"
+    full_depth = x.shape[3] * (f if prefolded else 1)
+    if folded and not prefolded:
         x = space_to_depth(x, f)
 
     variables = {"params": params, "quantizer": quantizer_state}
@@ -125,7 +134,6 @@ def vqvae_loss_fn(
         new_quantizer = quantizer_state
 
     xf = x.astype(jnp.float32)
-    out_ch = int(getattr(model.config, "output_channels", 1) or 1)
     if folded:
         dmask = depth_valid_mask_folded(num_valid, full_depth, f, out_ch)
         dmask = dmask.astype(jnp.float32)
