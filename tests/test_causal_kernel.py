@@ -57,24 +57,35 @@ def _make(nb=3, b=1, d=4, h=4, w=4, c=2, cond_dim=0, seed=0):
     return streams, stacked, cond
 
 
-def _scan(streams, stacked, cond):
+def _scan(streams, stacked, cond, dropout_prob=0.0, rng=None):
     # apply_causal_stack folds the ORIGINAL (unfolded) params; here the
     # stacked params are already the module's raw values, so fold via the
     # same path it uses.
     return apply_causal_stack(
         streams, stacked, cond,
-        kernel_size=3, dropout_prob=0.0, train=False, rng=None,
+        kernel_size=3, dropout_prob=dropout_prob,
+        train=dropout_prob > 0, rng=rng,
     )
 
 
-def _fused(streams, stacked, cond):
+def _fused(streams, stacked, cond, dropout_prob=0.0, rng=None):
     folded = jax.vmap(lambda p: fold_causal_block_params(p, 3))(stacked)
     weights = jax.vmap(pack_causal_union)(folded)
     has_cond = cond is not None
     b = streams[0].shape[0]
     cond_f = cond if has_cond else jnp.zeros((b, 1, 1, 1, 8), streams[0].dtype)
     xu = jnp.concatenate(streams, axis=-1)
-    yu = causal_stack_fused((has_cond, True), xu, cond_f, *weights)
+    nb = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    if dropout_prob > 0:
+        from vqvae3d_tpu.ops.causal_stack import union_dropout_masks
+
+        cb8 = jax.tree_util.tree_leaves(folded)[0].shape[-1]
+        mask = union_dropout_masks(rng, nb, b, cb8, dropout_prob)
+    else:
+        mask = jnp.zeros((nb, b, 1), jnp.float32)
+    yu = causal_stack_fused(
+        (has_cond, float(dropout_prob), True), xu, cond_f, mask, *weights
+    )
     c8 = streams[0].shape[-1]
     return tuple(yu[..., s * c8 : (s + 1) * c8] for s in range(3))
 
@@ -161,3 +172,61 @@ def test_gate():
     assert not causal_fused_ok(
         (1, 64, 64, 16, 128), jnp.bfloat16, 32, 128, kernel_size=5
     )
+
+
+@pytest.mark.parametrize("cond_dim", [0, 2])
+@pytest.mark.parametrize("p", [0.2, 0.5])
+def test_dropout_fwd_matches_scan(monkeypatch, cond_dim, p):
+    """Channel-dropout streamed into the kernel as data must sample the
+    SAME subnetwork as the scan path (same rng -> same masks -> same
+    outputs). Reference semantics: torch Dropout3d after the causal conv
+    (pixel_model/layers.py:445)."""
+    from vqvae3d_tpu.ops import s2d_conv
+
+    monkeypatch.setattr(s2d_conv, "_MIN_VOXELS", 1)
+    from vqvae3d_tpu.ops.resize import depth_to_space
+
+    streams, stacked, cond = _make(cond_dim=cond_dim, b=2, seed=4)
+    rng = jax.random.PRNGKey(42)
+    unfolded = tuple(depth_to_space(s, 2) for s in streams)
+    cond_un = depth_to_space(cond, 2) if cond is not None else None
+    ref = _scan(unfolded, stacked, cond_un, dropout_prob=p, rng=rng)
+    got = _fused(streams, stacked, cond, dropout_prob=p, rng=rng)
+    got_un = tuple(depth_to_space(g, 2) for g in got)
+    for a, b in zip(got_un, ref):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+def test_dropout_grads_match_scan(monkeypatch):
+    from vqvae3d_tpu.ops import s2d_conv
+
+    monkeypatch.setattr(s2d_conv, "_MIN_VOXELS", 1)
+    from vqvae3d_tpu.ops.resize import depth_to_space, space_to_depth
+
+    streams, stacked, cond = _make(nb=2, cond_dim=2, seed=5)
+    rng = jax.random.PRNGKey(7)
+    p = 0.5
+    unfolded = tuple(depth_to_space(s, 2) for s in streams)
+    cond_un = depth_to_space(cond, 2)
+
+    def loss_scan(args):
+        st, par, cnd = args
+        out = _scan(st, par, cnd, dropout_prob=p, rng=rng)
+        return sum(jnp.sum(o * jnp.sin(o)) for o in out)
+
+    def loss_fused(args):
+        st, par, cnd = args
+        stf = tuple(space_to_depth(s, 2) for s in st)
+        cf = space_to_depth(cnd, 2)
+        out = _fused(stf, par, cf, dropout_prob=p, rng=rng)
+        out = tuple(depth_to_space(o, 2) for o in out)
+        return sum(jnp.sum(o * jnp.sin(o)) for o in out)
+
+    args = (unfolded, stacked, cond_un)
+    g_ref = jax.grad(loss_scan)(args)
+    g_got = jax.grad(loss_fused)(args)
+    ref_leaves = jax.tree_util.tree_leaves(g_ref)
+    got_leaves = jax.tree_util.tree_leaves(g_got)
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(got_leaves, ref_leaves):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4)

@@ -110,7 +110,7 @@ def test_folded_io_eval_equivalence():
     for a, b in zip(indices, indices_f):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(losses, losses_f):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("metric", ["huber", "mixture-nll"])

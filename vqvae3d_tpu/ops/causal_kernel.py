@@ -136,6 +136,7 @@ def _conv_taps(win_ref, wu_ref, z0, cs, h, w, transposed):
 def _fwd_kernel(
     x_hbm,  # (B, D, H, W, Cu) ANY — lane-concat [d|h|w] streams
     cond_hbm,  # (B, D, H, W, C8c) ANY (dummy when has_cond=False)
+    mk_ref,  # (1, 1, Cb): per-(block, sample) 0/1 channel-dropout keep mask
     w1_ref,  # (1, Cu, Cb): block-diag w1 @ ExpandRF factor
     be_ref,  # (1, 1, Cb)
     wu_ref,  # (1, 2, 3, 3, Cb, Cb): union conv kernel
@@ -151,6 +152,7 @@ def _fwd_kernel(
     in_sem, save_sem, out_sem, cond_sem,
     *,
     has_cond,
+    dropout_p,
     nb,
     chunk,
 ):
@@ -189,6 +191,14 @@ def _fwd_kernel(
         a2 = _elu(e + b2a) + b2b
         win[pl.ds(1, cs), 1 : 1 + h, 1 : 1 + w, :] = a2
         conv = _conv_taps(win, wu_ref, 0, cs, h, w, False)
+        if dropout_p > 0:
+            # torch Dropout3d after the causal conv (reference
+            # pixel_model/layers.py:445; scan analog causal_stack.py::
+            # _channel_dropout_folded): zero dropped channels, divide kept
+            # ones by (1-p) — the same x/(1-p) op as the scan for exactness
+            conv = jnp.where(
+                mk_ref[0, 0] > 0, conv / (1.0 - dropout_p), 0.0
+            )
         if has_cond:
             ccp = pltpu.make_async_copy(
                 cond_hbm.at[bi, rows], condw.at[pl.ds(0, cs)], cond_sem
@@ -219,20 +229,20 @@ def _fwd_kernel(
 
 
 def _fwd_kernel_nosave(
-    x_hbm, cond_hbm,
+    x_hbm, cond_hbm, mk_ref,
     w1_ref, be_ref, wu_ref, w3_ref, wc_ref, bc_ref, sc_ref,
     y_hbm,
     xv, win, condw,
     in_sem, save_sem, out_sem, cond_sem,
-    *, has_cond, nb, chunk,
+    *, has_cond, dropout_p, nb, chunk,
 ):
     _fwd_kernel(
-        x_hbm, cond_hbm,
+        x_hbm, cond_hbm, mk_ref,
         w1_ref, be_ref, wu_ref, w3_ref, wc_ref, bc_ref, sc_ref,
         None, y_hbm,
         xv, win, condw,
         in_sem, save_sem, out_sem, cond_sem,
-        has_cond=has_cond, nb=nb, chunk=chunk,
+        has_cond=has_cond, dropout_p=dropout_p, nb=nb, chunk=chunk,
     )
 
 
@@ -260,6 +270,7 @@ def _bwd_kernel(
     save_hbm,  # (NB, B, D, H, W, Cu) ANY
     gy_hbm,  # (B, D, H, W, Cu) ANY
     cond_hbm,  # (B, D, H, W, C8c) ANY
+    mk_ref,  # (1, 1, Cb) 0/1 keep mask (reverse block order)
     w1_ref, be_ref, wu_ref, w3_ref, wc_ref, bc_ref, sc_ref,
     dx_hbm,  # (B, D, H, W, Cu) ANY
     dw1_ref,  # (1, 1, Cu, Cb) f32 per-block
@@ -282,6 +293,7 @@ def _bwd_kernel(
     gy_sem, save_sem, dx_sem, cond_sem,
     *,
     has_cond,
+    dropout_p,
     nb,
     chunk,
 ):
@@ -353,6 +365,10 @@ def _bwd_kernel(
             awin[0] = jnp.zeros_like(awin[0])
 
         conv = _conv_taps(awin, wu_ref, 0, cs, h, w, False)
+        if dropout_p > 0:
+            conv = jnp.where(
+                mk_ref[0, 0] > 0, conv / (1.0 - dropout_p), 0.0
+            )
         cond_c = None
         if has_cond:
             ccp = pltpu.make_async_copy(
@@ -373,7 +389,18 @@ def _bwd_kernel(
         g_u3 = g * scale
         g_a3 = _dot_last_t(g_u3, w3_ref[0], dt)
         g_c = g_a3 * _elu_grad(conv.astype(dt) + b3a)
-        gwin[pl.ds(0, cs), 1 : 1 + h, 1 : 1 + w, :] = g_c
+        if dropout_p > 0:
+            # cotangent entering the conv OUTPUT (pre-dropout): masked +
+            # rescaled; the unmasked g_c keeps feeding b3a / condition
+            # grads (the condition adds AFTER dropout)
+            g_cm = jnp.where(
+                mk_ref[0, 0] > 0,
+                g_c.astype(f32) / (1.0 - dropout_p),
+                0.0,
+            ).astype(dt)
+        else:
+            g_cm = g_c
+        gwin[pl.ds(0, cs), 1 : 1 + h, 1 : 1 + w, :] = g_cm
         dw3a = dw3a + _contract_voxels(a3, g_u3)
         d_scale += jnp.sum(g.astype(f32) * u3.astype(f32))
         d_b4 += jnp.sum(g.astype(f32))
@@ -494,36 +521,54 @@ def _scratch_shapes(d, h, w, cu, cb, c8c, dt, chunk, backward):
     return out
 
 
+def _mask_spec(nb, cb, reverse):
+    """BlockSpec for the (NB, B, Cb) channel-dropout keep mask: one
+    (block, sample) row per grid step."""
+    if reverse:
+        return pl.BlockSpec((1, 1, cb), lambda bi, i: (nb - 1 - i, bi, 0))
+    return pl.BlockSpec((1, 1, cb), lambda bi, i: (i, bi, 0))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def causal_stack_fused(static, x, cond, w1, be, wu, w3, wc, bc, sc):
+def causal_stack_fused(static, x, cond, mask, w1, be, wu, w3, wc, bc, sc):
     """Run NB causal mask-'B' blocks on the lane-concat folded streams with
     the union volume VMEM-resident across the whole stack.
 
-    static: (has_cond, interpret). x: (B, D, H, W, 3*C8) — the folded
-    depth/height/width streams concatenated on lanes. cond: (B, D, H, W,
-    C8c) folded condition embedding (dummy (B,1,1,1,c) when has_cond is
-    False). Weights are the combined per-block stacks from
-    ``pack_causal_union``. Equals scanning
-    ops/causal_stack.py::causal_preact_block_folded at dropout 0.
+    static: (has_cond, dropout_p, interpret). x: (B, D, H, W, 3*C8) — the
+    folded depth/height/width streams concatenated on lanes. cond: (B, D,
+    H, W, C8c) folded condition embedding (dummy (B,1,1,1,c) when has_cond
+    is False). mask: (NB, B, Cb) 0/1 channel-dropout keep decisions in the
+    union lane order (dummy (NB, B, 1)-broadcastable zeros when dropout_p
+    is 0) — streamed in as DATA, no in-kernel PRNG needed, because torch
+    Dropout3d masks are per-(sample, channel) only (reference
+    pixel_model/layers.py:445). Weights are the combined per-block stacks
+    from ``pack_causal_union``. Equals scanning
+    ops/causal_stack.py::causal_preact_block_folded at the same dropout.
 
     The primal call runs a no-saves kernel; only the VJP forward pays the
     per-block save traffic.
     """
-    return _fwd_impl(static, x, cond, w1, be, wu, w3, wc, bc, sc, False)[0]
+    return _fwd_impl(
+        static, x, cond, mask, w1, be, wu, w3, wc, bc, sc, False
+    )[0]
 
 
-def _fwd_impl(static, x, cond, w1, be, wu, w3, wc, bc, sc, saves):
-    has_cond, interpret = static
+def _fwd_impl(static, x, cond, mask, w1, be, wu, w3, wc, bc, sc, saves):
+    has_cond, dropout_p, interpret = static
     b, d, h, w, cu = x.shape
     nb, _, cb = w1.shape
     c8c = cond.shape[-1]
     dt = x.dtype
     chunk = _CHUNK
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    in_specs = [any_spec] * 2 + _weight_specs(cu, cb, c8c, nb, False)
+    in_specs = (
+        [any_spec] * 2
+        + [_mask_spec(nb, cb, False)]
+        + _weight_specs(cu, cb, c8c, nb, False)
+    )
     kern = functools.partial(
         _fwd_kernel if saves else _fwd_kernel_nosave,
-        has_cond=has_cond, nb=nb, chunk=chunk,
+        has_cond=has_cond, dropout_p=dropout_p, nb=nb, chunk=chunk,
     )
     vol = jax.ShapeDtypeStruct((b, d, h, w, cu), dt)
     out_specs = ([any_spec] if saves else []) + [any_spec]
@@ -542,7 +587,7 @@ def _fwd_impl(static, x, cond, w1, be, wu, w3, wc, bc, sc, saves):
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(
-        x, cond,
+        x, cond, _mask_operand(mask, nb, b, cb, dt),
         w1.astype(dt), be.astype(dt), wu.astype(dt), w3.astype(dt),
         wc.astype(dt), bc.astype(dt),
         sc.astype(jnp.float32).reshape(nb, 1, 8),
@@ -552,14 +597,22 @@ def _fwd_impl(static, x, cond, w1, be, wu, w3, wc, bc, sc, saves):
     return (out[0], None)
 
 
-def _fwd_rule(static, x, cond, w1, be, wu, w3, wc, bc, sc):
-    y, saved = _fwd_impl(static, x, cond, w1, be, wu, w3, wc, bc, sc, True)
-    return y, (saved, cond, w1, be, wu, w3, wc, bc, sc)
+def _mask_operand(mask, nb, b, cb, dt):
+    """Broadcast the mask to the kernel's (NB, B, Cb) layout (the dummy
+    passed at dropout 0 is (NB, B, 1))."""
+    return jnp.broadcast_to(mask.astype(dt), (nb, b, cb))
+
+
+def _fwd_rule(static, x, cond, mask, w1, be, wu, w3, wc, bc, sc):
+    y, saved = _fwd_impl(
+        static, x, cond, mask, w1, be, wu, w3, wc, bc, sc, True
+    )
+    return y, (saved, cond, mask, w1, be, wu, w3, wc, bc, sc)
 
 
 def _bwd_rule(static, res, gy):
-    has_cond, interpret = static
-    saved, cond, w1, be, wu, w3, wc, bc, sc = res
+    has_cond, dropout_p, interpret = static
+    saved, cond, mask, w1, be, wu, w3, wc, bc, sc = res
     nb, b, d, h, w, cu = saved.shape
     cb = w1.shape[-1]
     c8c = cond.shape[-1]
@@ -567,7 +620,11 @@ def _bwd_rule(static, res, gy):
     chunk = _CHUNK
     f32 = jnp.float32
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    in_specs = [any_spec] * 3 + _weight_specs(cu, cb, c8c, nb, True)
+    in_specs = (
+        [any_spec] * 3
+        + [_mask_spec(nb, cb, True)]
+        + _weight_specs(cu, cb, c8c, nb, True)
+    )
 
     def rev(extra):
         return lambda bi, i: (bi, nb - 1 - i) + (0,) * extra
@@ -592,7 +649,10 @@ def _bwd_rule(static, res, gy):
     ]
     vol = jax.ShapeDtypeStruct((b, d, h, w, cu), dt)
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, has_cond=has_cond, nb=nb, chunk=chunk),
+        functools.partial(
+            _bwd_kernel,
+            has_cond=has_cond, dropout_p=dropout_p, nb=nb, chunk=chunk,
+        ),
         grid=(b, nb),
         in_specs=in_specs,
         out_specs=[any_spec] + dw_out_specs + [any_spec],
@@ -603,7 +663,7 @@ def _bwd_rule(static, res, gy):
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(
-        saved, gy, cond,
+        saved, gy, cond, _mask_operand(mask, nb, b, cb, dt),
         w1.astype(dt), be.astype(dt), wu.astype(dt), w3.astype(dt),
         wc.astype(dt), bc.astype(dt),
         sc.astype(jnp.float32).reshape(nb, 1, 8),
@@ -616,6 +676,7 @@ def _bwd_rule(static, res, gy):
 
     return (
         dx, g_cond,
+        jnp.zeros_like(mask),  # dropout mask: non-differentiable data
         sb(dw1).astype(w1.dtype),
         sb(dbe).reshape(be.shape).astype(be.dtype),
         sb(dwu).astype(wu.dtype), sb(dw3).astype(w3.dtype),

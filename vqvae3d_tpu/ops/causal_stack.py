@@ -247,6 +247,30 @@ def causal_preact_block_A_folded(
     return tuple(o * scale + s(6) + sk for o, sk in zip(out, skip))
 
 
+def union_dropout_masks(
+    rng, n_blocks: int, b: int, cb8: int, rate: float
+) -> jax.Array:
+    """Per-block 0/1 keep masks in the union kernel's lane order
+    (NB, B, 3*cb8): block i draws fold_in(rng, i) → split 3 → per-stream
+    bernoulli over ORIGINAL channels tiled over the 8 fold phases — the
+    EXACT sequence the scan path's _channel_dropout_folded consumes, so
+    kernel and scan sample identical subnetworks for the same rng."""
+    c = cb8 // 8
+
+    def one(r):
+        r3 = jax.random.split(r, 3)
+        ms = []
+        for s in range(3):
+            keep = jax.random.bernoulli(r3[s], 1.0 - rate, (b, 1, 1, 1, c))
+            ms.append(jnp.tile(keep, (1, 1, 1, 1, 8)).reshape(b, cb8))
+        return jnp.concatenate(ms, axis=-1)
+
+    rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+        jnp.arange(n_blocks)
+    )
+    return jax.vmap(one)(rngs).astype(jnp.float32)
+
+
 def _channel_dropout_folded(x, rate: float, rng):
     """torch Dropout3d on a folded stream: one keep decision per ORIGINAL
     channel, tiled over the 8 phases (fold lane order is (phase, c), c
@@ -358,10 +382,11 @@ def apply_causal_stack(
     # Stack-resident causal megakernel (ops/causal_kernel.py): the whole
     # mask-'B' segment in ONE pallas_call, streams VMEM-resident. Single
     # real-TPU device only (under GSPMD an opaque pallas_call would force
-    # gathers of the sharded volume); dropout>0 stays on the scan path.
-    if not use_dropout and (
-        jax.default_backend() == "tpu" and jax.device_count() == 1
-    ):
+    # gathers of the sharded volume). Channel-dropout (torch Dropout3d —
+    # per-(sample, channel) masks only) streams into the kernel as data:
+    # the masks are drawn OUTSIDE with the exact fold_in/split/bernoulli
+    # sequence of the scan path, so both paths sample identical networks.
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
         from vqvae3d_tpu.ops.causal_kernel import (
             causal_fused_ok,
             causal_stack_fused,
@@ -381,7 +406,19 @@ def apply_causal_stack(
                 else jnp.zeros((xs_f[0].shape[0], 1, 1, 1, 8), dt)
             )
             xu = jnp.concatenate(xs_f, axis=-1)
-            yu = causal_stack_fused((has_cond, False), xu, cf, *weights)
+            b = xu.shape[0]
+            if use_dropout:
+                assert rng is not None
+                mask = union_dropout_masks(
+                    rng, n_blocks, b, cb8, dropout_prob
+                )
+                p_static = float(dropout_prob)
+            else:
+                mask = jnp.zeros((n_blocks, b, 1), jnp.float32)
+                p_static = 0.0
+            yu = causal_stack_fused(
+                (has_cond, p_static, False), xu, cf, mask, *weights
+            )
             c8 = xs_f[0].shape[-1]
             ys = tuple(
                 yu[..., s * c8 : (s + 1) * c8] for s in range(3)
