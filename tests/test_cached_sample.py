@@ -66,3 +66,32 @@ def test_cached_matches_naive_deeper():
     naive = ancestral_sample(model, params, rng, (4, 4, 4), 1, None, tau=0.7)
     cached = cached_ancestral_sample(model, params, rng, (4, 4, 4), 1, None, tau=0.7)
     np.testing.assert_array_equal(np.asarray(naive), np.asarray(cached))
+
+
+def test_host_sliced_matches_fori():
+    """make_cached_sampler(host_slices=True) — one execution per slice —
+    must produce the SAME grids as the single-execution fori_loop driver
+    (same rng): the host loop is the identical slice_body chained by its
+    carry."""
+    from vqvae3d_tpu.sample.cached_sample import make_cached_sampler
+
+    cfg = PixelCNNConfig(
+        input_dim=5, condition_dim=4, model_dim=8, kernel_size=3,
+        num_resblocks=2, dropout_prob=0.0, bottleneck_divisor=2,
+        dtype=jnp.float32,
+    )
+    model = PixelCNN(cfg)
+    batch = {
+        "data": np.zeros((2, *DIMS), np.int32),
+        "condition": np.zeros((2, 2, 2, 1), np.int32),
+    }
+    cond = jnp.asarray(
+        np.random.default_rng(0).integers(0, 4, (2, 2, 2, 1)), jnp.int32
+    )
+    params = _randomized_params(model, batch, jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(9)
+
+    ref = cached_ancestral_sample(model, params, rng, DIMS, 2, cond, tau=0.7)
+    hs = make_cached_sampler(model, DIMS, 2, tau=0.7, host_slices=True)
+    got = hs(params, rng, cond)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

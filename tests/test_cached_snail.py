@@ -83,3 +83,29 @@ def test_cached_snail_matches_naive_sampling():
     naive = ancestral_sample(model, params, rng, DIMS, 2, None, tau=1.0)
     cached = cached_snail_sample(model, params, rng, DIMS, 2, None, tau=1.0)
     np.testing.assert_array_equal(np.asarray(naive), np.asarray(cached))
+
+
+def test_host_sliced_matches_fori():
+    """Host-sliced snail sampler (one execution per slice) equals the
+    fori_loop driver for the same rng."""
+    from vqvae3d_tpu.sample.cached_snail import (
+        cached_snail_sample,
+        make_cached_snail_sampler,
+    )
+
+    cfg = PixelSNAILConfig(
+        input_dim=6, condition_dim=0, model_dim=8, kernel_size=3,
+        num_layers_per_block=1, num_blocks=2, causal_dropout_prob=0.0,
+        attention_dropout_prob=0.0, num_heads=2, bottleneck_divisor=2,
+        dtype=jnp.float32,
+    )
+    model = PixelSNAIL(cfg)
+    batch = {"data": np.zeros((2, 3, 4, 3), np.int32)}
+    params = _randomized_params(model, batch, jax.random.PRNGKey(2))
+    rng = jax.random.PRNGKey(11)
+    dims = (3, 4, 3)
+
+    ref = cached_snail_sample(model, params, rng, dims, 2, None, tau=0.7)
+    hs = make_cached_snail_sampler(model, dims, 2, tau=0.7, host_slices=True)
+    got = hs(params, rng)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

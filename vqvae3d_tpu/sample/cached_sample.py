@@ -238,15 +238,22 @@ def _width_step(layers, s_vec, s_prev_vec, d2w_vec, h2w_vec, cond_vec, v_caches,
 # Driver
 # ---------------------------------------------------------------------------
 
-def cached_ancestral_sample(
+def _build_slice_body(
     model,
     params,
-    rng: jax.Array,
     dims: Tuple[int, int, int],
     batch_size: int,
     condition_idx: Optional[jax.Array] = None,
     tau: float = 1.0,
-) -> jax.Array:
+):
+    """Prepare caches/params and return ``(slice_body, x0)`` where
+    ``slice_body(i0, (x, rng)) -> (x, rng)`` samples slice i0. Used by the
+    single-execution fori_loop driver (cached_ancestral_sample) and the
+    host-sliced driver (make_cached_sampler(host_slices=True)) — the
+    latter exists because the tunneled TPU runtime kills single
+    executions longer than ~1 min, and a full-grid sampling program at
+    the published top size (128x128x32 = 524k sequential voxel steps,
+    slurm-jobs/sample_embeddings_top.job:68) runs for minutes."""
     cfg = model.config
     assert cfg.use_pre_activation and not cfg.use_concat_activation, (
         "cached sampling supports the PreActFixupCausalResBlock PixelCNN"
@@ -372,29 +379,97 @@ def cached_ancestral_sample(
         x, rng = jax.lax.fori_loop(0, s1, row_body, (x, rng))
         return (x, rng)
 
-    x, _ = jax.lax.fori_loop(0, s0, slice_body, (x0, rng))
+    return slice_body, x0
+
+
+def cached_ancestral_sample(
+    model,
+    params,
+    rng: jax.Array,
+    dims: Tuple[int, int, int],
+    batch_size: int,
+    condition_idx: Optional[jax.Array] = None,
+    tau: float = 1.0,
+) -> jax.Array:
+    slice_body, x0 = _build_slice_body(
+        model, params, dims, batch_size, condition_idx, tau
+    )
+    x, _ = jax.lax.fori_loop(0, dims[0], slice_body, (x0, rng))
     return jnp.argmax(x, axis=-1).astype(jnp.int32)
 
 
+# Above this many voxels the sampler runs one EXECUTION PER SLICE from the
+# host (identical math — the fori_loop merely moves to Python): bounds
+# per-execution device time, which both keeps the remote-TPU execution
+# watchdog happy (~1 min hard kill, measured) and streams progress.
+_HOST_SLICES_ABOVE = 8192
+
+
 def make_cached_sampler(
-    model, dims: Tuple[int, int, int], batch_size: int, tau: float = 1.0
+    model,
+    dims: Tuple[int, int, int],
+    batch_size: int,
+    tau: float = 1.0,
+    host_slices: Optional[bool] = None,
 ):
-    """Jitted cached sampler with the same signature as
-    ar_sample.make_ancestral_sampler."""
-    if model.config.use_conditioning:
+    """Cached sampler with the same signature as
+    ar_sample.make_ancestral_sampler. ``host_slices`` defaults to on for
+    grids above _HOST_SLICES_ABOVE voxels (exactness: the host loop is
+    the same slice_body chained by its carry — tested in
+    tests/test_cached_sample.py)."""
+    if host_slices is None:
+        host_slices = dims[0] * dims[1] * dims[2] > _HOST_SLICES_ABOVE
+    has_cond = model.config.use_conditioning
 
-        @jax.jit
-        def sampler(params, rng, condition_idx):
-            return cached_ancestral_sample(
-                model, params, rng, dims, batch_size, condition_idx, tau
-            )
+    if not host_slices:
+        if has_cond:
 
-    else:
+            @jax.jit
+            def sampler(params, rng, condition_idx):
+                return cached_ancestral_sample(
+                    model, params, rng, dims, batch_size, condition_idx, tau
+                )
 
-        @jax.jit
-        def sampler(params, rng):
-            return cached_ancestral_sample(
-                model, params, rng, dims, batch_size, None, tau
-            )
+        else:
 
-    return sampler
+            @jax.jit
+            def sampler(params, rng):
+                return cached_ancestral_sample(
+                    model, params, rng, dims, batch_size, None, tau
+                )
+
+        return sampler
+
+    def _step(params, condition_idx, i0, carry):
+        slice_body, _ = _build_slice_body(
+            model, params, dims, batch_size, condition_idx, tau
+        )
+        return slice_body(i0, carry)
+
+    step = jax.jit(_step, donate_argnums=(3,))
+
+    @jax.jit
+    def _init(params, condition_idx):
+        slice_body, x0 = _build_slice_body(
+            model, params, dims, batch_size, condition_idx, tau
+        )
+        del slice_body
+        return x0
+
+    @jax.jit
+    def _finish(x):
+        return jnp.argmax(x, axis=-1).astype(jnp.int32)
+
+    def run(params, rng, condition_idx=None):
+        # copy the key: the donated carry would otherwise delete the
+        # caller's buffer (callers legitimately reuse their key object)
+        carry = (_init(params, condition_idx), jnp.array(rng, copy=True))
+        for i0 in range(dims[0]):
+            carry = step(params, condition_idx, jnp.int32(i0), carry)
+        return _finish(carry[0])
+
+    if has_cond:
+        return lambda params, rng, condition_idx: run(
+            params, rng, condition_idx
+        )
+    return lambda params, rng: run(params, rng, None)

@@ -476,22 +476,19 @@ def _width_phase_step(prog: _Program, s_vec, s_prev, bg_vec, flat_idx,
 # ---------------------------------------------------------------------------
 
 
-def cached_snail_sample(
+def _build_slice_body(
     model,
     params,
-    rng: jax.Array,
     dims: Tuple[int, int, int],
     batch_size: int,
     condition_idx: Optional[jax.Array] = None,
     tau: float = 1.0,
     forced_x: Optional[jax.Array] = None,
 ):
-    """Sample (B, *dims) int32 code grids from a PixelSNAIL prior.
-
-    ``forced_x``: if given ((B, *dims) int32), don't sample — force these
-    values and return the per-voxel logits instead (exactness testing
-    against the model's one-shot forward).
-    """
+    """Prepare program/caches and return ``(slice_body, carry0)`` where
+    ``slice_body(i0, (x, rng, kh, vh, kw, vw, logits_acc))`` samples slice
+    i0. Shared by the fori_loop driver and the host-sliced driver (one
+    execution per slice — see cached_sample._build_slice_body for why)."""
     cfg = model.config
     k = cfg.input_dim
     s0, s1, s2 = dims
@@ -637,33 +634,107 @@ def cached_snail_sample(
         ]
         return (x, rng, kh, vh, kw, vw, logits_acc)
 
-    x, _, _, _, _, _, logits_acc = jax.lax.fori_loop(
-        0, s0, slice_body, (x0, rng, kh0, vh0, kw0, vw0, logits0)
+    return slice_body, (x0, kh0, vh0, kw0, vw0, logits0)
+
+
+def cached_snail_sample(
+    model,
+    params,
+    rng: jax.Array,
+    dims: Tuple[int, int, int],
+    batch_size: int,
+    condition_idx: Optional[jax.Array] = None,
+    tau: float = 1.0,
+    forced_x: Optional[jax.Array] = None,
+):
+    """Sample (B, *dims) int32 code grids from a PixelSNAIL prior.
+
+    ``forced_x``: if given ((B, *dims) int32), don't sample — force these
+    values and return the per-voxel logits instead (exactness testing
+    against the model's one-shot forward).
+    """
+    slice_body, (x0, kh0, vh0, kw0, vw0, logits0) = _build_slice_body(
+        model, params, dims, batch_size, condition_idx, tau, forced_x
     )
-    if forced:
+    x, _, _, _, _, _, logits_acc = jax.lax.fori_loop(
+        0, dims[0], slice_body, (x0, rng, kh0, vh0, kw0, vw0, logits0)
+    )
+    if forced_x is not None:
         return logits_acc
     return jnp.argmax(x, axis=-1).astype(jnp.int32)
 
 
+# One execution per slice above this total-voxel count (same rationale and
+# exactness as cached_sample._HOST_SLICES_ABOVE; the snail's per-voxel
+# attention makes its executions far longer per voxel, so the threshold
+# is lower).
+_HOST_SLICES_ABOVE = 2048
+
+
 def make_cached_snail_sampler(
-    model, dims: Tuple[int, int, int], batch_size: int, tau: float = 1.0
+    model,
+    dims: Tuple[int, int, int],
+    batch_size: int,
+    tau: float = 1.0,
+    host_slices: Optional[bool] = None,
 ):
-    """Jitted cached PixelSNAIL sampler (same signature as the PixelCNN
-    cached sampler)."""
-    if model.config.use_conditioning:
+    """Cached PixelSNAIL sampler (same signature as the PixelCNN cached
+    sampler). ``host_slices`` defaults to on for grids above
+    _HOST_SLICES_ABOVE voxels: the same slice_body runs as one device
+    execution per slice, chained by its carry."""
+    if host_slices is None:
+        host_slices = dims[0] * dims[1] * dims[2] > _HOST_SLICES_ABOVE
+    has_cond = model.config.use_conditioning
 
-        @jax.jit
-        def sampler(params, rng, condition_idx):
-            return cached_snail_sample(
-                model, params, rng, dims, batch_size, condition_idx, tau
-            )
+    if not host_slices:
+        if has_cond:
 
-    else:
+            @jax.jit
+            def sampler(params, rng, condition_idx):
+                return cached_snail_sample(
+                    model, params, rng, dims, batch_size, condition_idx, tau
+                )
 
-        @jax.jit
-        def sampler(params, rng):
-            return cached_snail_sample(
-                model, params, rng, dims, batch_size, None, tau
-            )
+        else:
 
-    return sampler
+            @jax.jit
+            def sampler(params, rng):
+                return cached_snail_sample(
+                    model, params, rng, dims, batch_size, None, tau
+                )
+
+        return sampler
+
+    def _step(params, condition_idx, i0, carry):
+        slice_body, _ = _build_slice_body(
+            model, params, dims, batch_size, condition_idx, tau
+        )
+        return slice_body(i0, carry)
+
+    step = jax.jit(_step, donate_argnums=(3,))
+
+    @jax.jit
+    def _init(params, condition_idx):
+        _, carry0 = _build_slice_body(
+            model, params, dims, batch_size, condition_idx, tau
+        )
+        return carry0
+
+    @jax.jit
+    def _finish(x):
+        return jnp.argmax(x, axis=-1).astype(jnp.int32)
+
+    def run(params, rng, condition_idx=None):
+        x0, kh0, vh0, kw0, vw0, logits0 = _init(params, condition_idx)
+        # copy the key: the donated carry would otherwise delete the
+        # caller's buffer (callers legitimately reuse their key object)
+        carry = (x0, jnp.array(rng, copy=True), kh0, vh0, kw0, vw0, logits0)
+        for i0 in range(dims[0]):
+            carry = step(params, condition_idx, jnp.int32(i0), carry)
+        return _finish(carry[0])
+
+    if has_cond:
+        return lambda params, rng, condition_idx: run(
+            params, rng, condition_idx
+        )
+    return lambda params, rng: run(params, rng, None)
