@@ -95,3 +95,36 @@ def test_host_sliced_matches_fori():
     hs = make_cached_sampler(model, DIMS, 2, tau=0.7, host_slices=True)
     got = hs(params, rng, cond)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("with_cond", [False, True])
+def test_row_kernel_matches_xla(with_cond):
+    """The Pallas row-decode kernel (interpret mode on CPU) must produce
+    the SAME grids as the XLA voxel loop for the same rng: the Gumbel
+    table replicates jax.random.categorical's own per-voxel draws."""
+    cfg = PixelCNNConfig(
+        input_dim=5,
+        condition_dim=4 if with_cond else 0,
+        model_dim=8,
+        kernel_size=3,
+        num_resblocks=2,
+        dropout_prob=0.0,
+        bottleneck_divisor=2,
+        dtype=jnp.float32,
+    )
+    model = PixelCNN(cfg)
+    batch = {"data": np.zeros((2, *DIMS), np.int32)}
+    cond = None
+    if with_cond:
+        batch["condition"] = np.zeros((2, 2, 2, 1), np.int32)
+        cond = jnp.asarray(
+            np.random.default_rng(3).integers(0, 4, (2, 2, 2, 1)), jnp.int32
+        )
+    params = _randomized_params(model, batch, jax.random.PRNGKey(6))
+    rng = jax.random.PRNGKey(13)
+
+    ref = cached_ancestral_sample(model, params, rng, DIMS, 2, cond, tau=0.7)
+    got = cached_ancestral_sample(
+        model, params, rng, DIMS, 2, cond, tau=0.7, row_kernel="interpret"
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

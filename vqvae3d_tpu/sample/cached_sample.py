@@ -245,6 +245,7 @@ def _build_slice_body(
     batch_size: int,
     condition_idx: Optional[jax.Array] = None,
     tau: float = 1.0,
+    row_kernel=None,
 ):
     """Prepare caches/params and return ``(slice_body, x0)`` where
     ``slice_body(i0, (x, rng)) -> (x, rng)`` samples slice i0. Used by the
@@ -253,7 +254,19 @@ def _build_slice_body(
     latter exists because the tunneled TPU runtime kills single
     executions longer than ~1 min, and a full-grid sampling program at
     the published top size (128x128x32 = 524k sequential voxel steps,
-    slurm-jobs/sample_embeddings_top.job:68) runs for minutes."""
+    slurm-jobs/sample_embeddings_top.job:68) runs for minutes.
+
+    ``row_kernel``: run the voxel phase as ONE Pallas call per row
+    (ops/decode_row.py — same draws via the precomputed Gumbel table).
+    None = auto (on on a single real TPU); "interpret" for CPU tests."""
+    import os
+
+    if row_kernel is None:
+        row_kernel = (
+            os.environ.get("VQVAE3D_ROW_KERNEL", "1") == "1"
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+        )
     cfg = model.config
     assert cfg.use_pre_activation and not cfg.use_concat_activation, (
         "cached sampling supports the PreActFixupCausalResBlock PixelCNN"
@@ -290,6 +303,17 @@ def _build_slice_body(
     def parse_in(x_oh):
         return _mm(x_oh, w_in) + b_in
 
+    _stacked_cache = {}
+
+    def _stacked():
+        if "w" not in _stacked_cache:
+            from vqvae3d_tpu.ops.decode_row import stack_row_weights
+
+            _stacked_cache["w"] = stack_row_weights(
+                layers, w_in, b_in, w_out, b_out
+            )
+        return _stacked_cache["w"]
+
     x0 = jnp.zeros((b, s0, s1, s2, k), jnp.float32)
 
     def slice_body(i0, carry):
@@ -307,20 +331,53 @@ def _build_slice_body(
             if has_cond
             else None
         )
+        # slice-level layer stacks for the row kernel: ONE dynamic row
+        # slice per row instead of 51 per-layer indexes + a stack
+        if row_kernel:
+            d2w_stk = jnp.stack(d2w_sl)  # (L, B, s1, s2, br)
+            cond_stk = jnp.stack(cond_sl) if has_cond else None
 
         def row_body(i1, carry):
             x, rng = carry
             x_sl = jax.lax.dynamic_index_in_dim(x, i0, 1, False)  # (B,s1,s2,K)
             s_sl = parse_in(x_sl)
             h2w_sl, h_fin_sl = _height_tower(layers, s_sl, d2h_sl, cond_sl, half)
+            h_fin_row = jax.lax.dynamic_index_in_dim(h_fin_sl, i1, 1, False)
+            d_fin_row = jax.lax.dynamic_index_in_dim(d_fin_sl, i1, 1, False)
+
+            if row_kernel:
+                from vqvae3d_tpu.ops.decode_row import gumbel_row, row_decode
+
+                rng, gum = gumbel_row(rng, b, s2, k)
+                samples = row_decode(
+                    _stacked(),
+                    jax.lax.dynamic_index_in_dim(d2w_stk, i1, 2, False),
+                    jnp.stack(
+                        [
+                            jax.lax.dynamic_index_in_dim(a, i1, 1, False)
+                            for a in h2w_sl
+                        ]
+                    ),
+                    jax.lax.dynamic_index_in_dim(cond_stk, i1, 2, False)
+                    if has_cond
+                    else None,
+                    d_fin_row + h_fin_row,
+                    gum,
+                    tau,
+                    interpret=(row_kernel == "interpret"),
+                )  # (B, s2) int32
+                one_hots = jax.nn.one_hot(samples, k, dtype=jnp.float32)
+                x = jax.lax.dynamic_update_slice(
+                    x, one_hots.reshape(b, 1, 1, s2, k), (0, i0, i1, 0, 0)
+                )
+                return (x, rng)
+
             h2w_row = [
                 jax.lax.dynamic_index_in_dim(a, i1, 1, False) for a in h2w_sl
             ]  # (B, s2, br)
-            h_fin_row = jax.lax.dynamic_index_in_dim(h_fin_sl, i1, 1, False)
             d2w_row = [
                 jax.lax.dynamic_index_in_dim(a, i1, 1, False) for a in d2w_sl
             ]
-            d_fin_row = jax.lax.dynamic_index_in_dim(d_fin_sl, i1, 1, False)
             cond_row = (
                 [jax.lax.dynamic_index_in_dim(c, i1, 1, False) for c in cond_sl]
                 if has_cond
@@ -390,9 +447,10 @@ def cached_ancestral_sample(
     batch_size: int,
     condition_idx: Optional[jax.Array] = None,
     tau: float = 1.0,
+    row_kernel=False,
 ) -> jax.Array:
     slice_body, x0 = _build_slice_body(
-        model, params, dims, batch_size, condition_idx, tau
+        model, params, dims, batch_size, condition_idx, tau, row_kernel
     )
     x, _ = jax.lax.fori_loop(0, dims[0], slice_body, (x0, rng))
     return jnp.argmax(x, axis=-1).astype(jnp.int32)
@@ -411,12 +469,14 @@ def make_cached_sampler(
     batch_size: int,
     tau: float = 1.0,
     host_slices: Optional[bool] = None,
+    row_kernel=None,
 ):
     """Cached sampler with the same signature as
     ar_sample.make_ancestral_sampler. ``host_slices`` defaults to on for
     grids above _HOST_SLICES_ABOVE voxels (exactness: the host loop is
     the same slice_body chained by its carry — tested in
-    tests/test_cached_sample.py)."""
+    tests/test_cached_sample.py). ``row_kernel`` (None = auto on single
+    real TPU) runs the voxel phase as one Pallas call per row."""
     if host_slices is None:
         host_slices = dims[0] * dims[1] * dims[2] > _HOST_SLICES_ABOVE
     has_cond = model.config.use_conditioning
@@ -427,7 +487,8 @@ def make_cached_sampler(
             @jax.jit
             def sampler(params, rng, condition_idx):
                 return cached_ancestral_sample(
-                    model, params, rng, dims, batch_size, condition_idx, tau
+                    model, params, rng, dims, batch_size, condition_idx,
+                    tau, row_kernel or False,
                 )
 
         else:
@@ -435,14 +496,15 @@ def make_cached_sampler(
             @jax.jit
             def sampler(params, rng):
                 return cached_ancestral_sample(
-                    model, params, rng, dims, batch_size, None, tau
+                    model, params, rng, dims, batch_size, None,
+                    tau, row_kernel or False,
                 )
 
         return sampler
 
     def _step(params, condition_idx, i0, carry):
         slice_body, _ = _build_slice_body(
-            model, params, dims, batch_size, condition_idx, tau
+            model, params, dims, batch_size, condition_idx, tau, row_kernel
         )
         return slice_body(i0, carry)
 
@@ -451,7 +513,7 @@ def make_cached_sampler(
     @jax.jit
     def _init(params, condition_idx):
         slice_body, x0 = _build_slice_body(
-            model, params, dims, batch_size, condition_idx, tau
+            model, params, dims, batch_size, condition_idx, tau, False
         )
         del slice_body
         return x0
