@@ -261,13 +261,18 @@ def _build_slice_body(
     None = auto (on on a single real TPU); "interpret" for CPU tests."""
     import os
 
+    cfg = model.config
     if row_kernel is None:
         row_kernel = (
             os.environ.get("VQVAE3D_ROW_KERNEL", "1") == "1"
             and jax.default_backend() == "tpu"
             and jax.device_count() == 1
+            and cfg.kernel_size == 3
         )
-    cfg = model.config
+    if row_kernel:
+        # the in-kernel height step hardcodes the k=3 tap geometry (the
+        # only kernel size the reference ships)
+        assert cfg.kernel_size == 3, "row_kernel requires kernel_size=3"
     assert cfg.use_pre_activation and not cfg.use_concat_activation, (
         "cached sampling supports the PreActFixupCausalResBlock PixelCNN"
     )
@@ -331,11 +336,52 @@ def _build_slice_body(
             if has_cond
             else None
         )
-        # slice-level layer stacks for the row kernel: ONE dynamic row
-        # slice per row instead of 51 per-layer indexes + a stack
         if row_kernel:
-            d2w_stk = jnp.stack(d2w_sl)  # (L, B, s1, s2, br)
+            # one Pallas call per row (ops/decode_row.py): the in-kernel
+            # height-row step replaces the XLA height tower entirely; its
+            # per-layer v-row caches thread through the row loop
+            from vqvae3d_tpu.ops.decode_row import gumbel_row, row_decode
+
+            d2h_stk = jnp.stack(d2h_sl)  # (L, B, s1, s2, br)
+            d2w_stk = jnp.stack(d2w_sl)
             cond_stk = jnp.stack(cond_sl) if has_cond else None
+            br = d2w_stk.shape[-1]
+            n_layers_ = d2w_stk.shape[0]
+            vhc0 = jnp.zeros((n_layers_, b, s2, br), jnp.float32)
+
+            def row_body_k(i1, carry):
+                x, rng, vhc = carry
+                x_sl = jax.lax.dynamic_index_in_dim(x, i0, 1, False)
+                prev_row = jax.lax.dynamic_index_in_dim(
+                    x_sl, jnp.maximum(i1 - 1, 0), 1, False
+                )  # (B, s2, K)
+                s_prev_row = jnp.where(i1 > 0, parse_in(prev_row), 0.0)
+                rng, gum = gumbel_row(rng, b, s2, k)
+                samples, vhc = row_decode(
+                    _stacked(),
+                    jax.lax.dynamic_index_in_dim(d2h_stk, i1, 2, False),
+                    jax.lax.dynamic_index_in_dim(d2w_stk, i1, 2, False),
+                    jax.lax.dynamic_index_in_dim(cond_stk, i1, 2, False)
+                    if has_cond
+                    else None,
+                    jax.lax.dynamic_index_in_dim(d_fin_sl, i1, 1, False),
+                    s_prev_row,
+                    vhc,
+                    gum,
+                    i1,
+                    tau,
+                    interpret=(row_kernel == "interpret"),
+                )  # (B, s2) int32
+                one_hots = jax.nn.one_hot(samples, k, dtype=jnp.float32)
+                x = jax.lax.dynamic_update_slice(
+                    x, one_hots.reshape(b, 1, 1, s2, k), (0, i0, i1, 0, 0)
+                )
+                return (x, rng, vhc)
+
+            x, rng, _ = jax.lax.fori_loop(
+                0, s1, row_body_k, (x, rng, vhc0)
+            )
+            return (x, rng)
 
         def row_body(i1, carry):
             x, rng = carry
@@ -344,33 +390,6 @@ def _build_slice_body(
             h2w_sl, h_fin_sl = _height_tower(layers, s_sl, d2h_sl, cond_sl, half)
             h_fin_row = jax.lax.dynamic_index_in_dim(h_fin_sl, i1, 1, False)
             d_fin_row = jax.lax.dynamic_index_in_dim(d_fin_sl, i1, 1, False)
-
-            if row_kernel:
-                from vqvae3d_tpu.ops.decode_row import gumbel_row, row_decode
-
-                rng, gum = gumbel_row(rng, b, s2, k)
-                samples = row_decode(
-                    _stacked(),
-                    jax.lax.dynamic_index_in_dim(d2w_stk, i1, 2, False),
-                    jnp.stack(
-                        [
-                            jax.lax.dynamic_index_in_dim(a, i1, 1, False)
-                            for a in h2w_sl
-                        ]
-                    ),
-                    jax.lax.dynamic_index_in_dim(cond_stk, i1, 2, False)
-                    if has_cond
-                    else None,
-                    d_fin_row + h_fin_row,
-                    gum,
-                    tau,
-                    interpret=(row_kernel == "interpret"),
-                )  # (B, s2) int32
-                one_hots = jax.nn.one_hot(samples, k, dtype=jnp.float32)
-                x = jax.lax.dynamic_update_slice(
-                    x, one_hots.reshape(b, 1, 1, s2, k), (0, i0, i1, 0, 0)
-                )
-                return (x, rng)
 
             h2w_row = [
                 jax.lax.dynamic_index_in_dim(a, i1, 1, False) for a in h2w_sl
