@@ -127,6 +127,26 @@ def main():
             (32, 32, 8),
             batch=1,
         )
+    if which in ("top_dropout",):
+        # same top config at channel-dropout 0.5 (the published
+        # pixelcnn mid/bottom jobs train at dropout 0.5) — exercises the
+        # dropout-capable causal megakernel (masks streamed as data);
+        # before r3 this config fell back to the remat scan at ~386 ms
+        _bench(
+            "top_pixelcnn_dropout05",
+            PixelCNN(
+                PixelCNNConfig(
+                    input_dim=128,
+                    condition_dim=256,
+                    model_dim=16,
+                    num_resblocks=50,
+                    dropout_prob=0.5,
+                )
+            ),
+            (128, 128, 32),
+            (32, 32, 8),
+            batch=1,
+        )
     if which in ("mid", "all"):
         # jobs/train_pixelsnail_mid: 8 blocks x 5 layers x 256d, conditioned
         _bench(

@@ -195,10 +195,11 @@ def _fwd_kernel(
             # torch Dropout3d after the causal conv (reference
             # pixel_model/layers.py:445; scan analog causal_stack.py::
             # _channel_dropout_folded): zero dropped channels, divide kept
-            # ones by (1-p) — the same x/(1-p) op as the scan for exactness
-            conv = jnp.where(
-                mk_ref[0, 0] > 0, conv / (1.0 - dropout_p), 0.0
-            )
+            # ones by (1-p) — the same x/(1-p) op as the scan for exactness.
+            # Rank-4 mask view: Mosaic's layout pass crashes on rank-1
+            # operands broadcast into rank-4 ops.
+            mk4 = mk_ref[0].astype(f32).reshape(1, 1, 1, mk_ref.shape[-1])
+            conv = jnp.where(mk4 > 0, conv / (1.0 - dropout_p), 0.0)
         if has_cond:
             ccp = pltpu.make_async_copy(
                 cond_hbm.at[bi, rows], condw.at[pl.ds(0, cs)], cond_sem
@@ -366,9 +367,8 @@ def _bwd_kernel(
 
         conv = _conv_taps(awin, wu_ref, 0, cs, h, w, False)
         if dropout_p > 0:
-            conv = jnp.where(
-                mk_ref[0, 0] > 0, conv / (1.0 - dropout_p), 0.0
-            )
+            mk4 = mk_ref[0].astype(f32).reshape(1, 1, 1, mk_ref.shape[-1])
+            conv = jnp.where(mk4 > 0, conv / (1.0 - dropout_p), 0.0)
         cond_c = None
         if has_cond:
             ccp = pltpu.make_async_copy(
@@ -393,10 +393,9 @@ def _bwd_kernel(
             # cotangent entering the conv OUTPUT (pre-dropout): masked +
             # rescaled; the unmasked g_c keeps feeding b3a / condition
             # grads (the condition adds AFTER dropout)
+            mk4 = mk_ref[0].astype(f32).reshape(1, 1, 1, mk_ref.shape[-1])
             g_cm = jnp.where(
-                mk_ref[0, 0] > 0,
-                g_c.astype(f32) / (1.0 - dropout_p),
-                0.0,
+                mk4 > 0, g_c.astype(f32) / (1.0 - dropout_p), 0.0
             ).astype(dt)
         else:
             g_cm = g_c
