@@ -88,9 +88,12 @@ def _row_kernel(
     w_out_ref,  # (C, K)
     b_out_ref,  # (1, K)
     gum_ref,  # (s2, B, K) gumbel noise (categorical's own draws)
+    forced_ref,  # (s2, 1, B) int32: teacher indices ((1,1,1) dummy unless
+    #              forced — exactness testing against the one-shot forward)
     # outputs
     out_ref,  # (s2, 1, B) int32 sampled indices
     vhc_out_ref,  # (L, B, s2, br): updated height v-row caches (row i1)
+    logit_ref,  # (s2, B, K) f32 per-voxel logits (written when forced)
     # scratch
     hw_scr,  # (L, B, s2, br): h2w injections computed by phase 1
     hfin_scr,  # (B, s2, C): height-stream final row
@@ -98,6 +101,7 @@ def _row_kernel(
     *,
     tau: float,
     l0_skip: bool,
+    forced: bool,
 ):
     L, C, br = w1_ref.shape
     ws = wk_ref.shape[1]
@@ -114,10 +118,15 @@ def _row_kernel(
             r = jax.lax.dot_general(
                 a.reshape(bb * ss, xx), m, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             return r.reshape(bb, ss, m.shape[-1])
+        # HIGHEST: the XLA sampler computes fp32 everywhere (_mm uses
+        # Precision.HIGHEST); the TPU's default bf16 matmul rounding would
+        # perturb logits ~1e-2 and occasionally flip sampled voxels
         return jax.lax.dot_general(
-            a, m, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            a, m, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     b_in = b_in_ref[0]
@@ -182,10 +191,14 @@ def _row_kernel(
             w = out + dot(sk_in, skw_ref[li]) + skb_ref[li]
         total = dfin_ref[:, i2] + hfin_scr[:, i2] + w
         logits = dot(total, w_out_ref[:]) + b_out_ref[0]
-        z = logits / tau + gum_ref[i2]
-        # argmax with first-occurrence tie-breaking (== jnp.argmax)
-        m = jnp.max(z, axis=-1, keepdims=True)
-        idx = jnp.min(jnp.where(z >= m, iota_k, K), axis=-1)
+        if forced:
+            logit_ref[i2] = logits
+            idx = forced_ref[i2, 0]
+        else:
+            z = logits / tau + gum_ref[i2]
+            # argmax with first-occurrence tie-breaking (== jnp.argmax)
+            m = jnp.max(z, axis=-1, keepdims=True)
+            idx = jnp.min(jnp.where(z >= m, iota_k, K), axis=-1)
         out_ref[i2, 0] = idx
         one_hot = (iota_k == idx[:, None]).astype(f32)
         return dot(one_hot, w_in_ref[:]) + b_in
@@ -270,25 +283,36 @@ def row_decode(
     i1,  # int32 scalar: row index
     tau: float,
     interpret: bool = False,
+    forced_idx=None,  # (B, s2) int32: teacher-force + return logits
 ):
-    """Sample one row. Returns ((B, s2) int32 indices, vhc_out)."""
+    """Sample one row. Returns ((B, s2) int32 indices, vhc_out) — or,
+    with ``forced_idx``, ((B, s2) indices, vhc_out, (B, s2, K) logits)."""
     L, B, s2, br = d2w_row.shape
     C = dfin_row.shape[-1]
+    K = gumbel.shape[-1]
     if cnd_row is None:
         cnd_row = jnp.zeros_like(d2w_row)
     ws = stacked["wk"].shape[1]
+    forced = forced_idx is not None
     kern = functools.partial(
-        _row_kernel, tau=float(tau), l0_skip=stacked["l0_skip"]
+        _row_kernel, tau=float(tau), l0_skip=stacked["l0_skip"],
+        forced=forced,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out, vhc_out = pl.pallas_call(
+    fop = (
+        forced_idx.T.reshape(s2, 1, B).astype(jnp.int32)
+        if forced
+        else jnp.zeros((1, 1, 1), jnp.int32)
+    )
+    out, vhc_out, logits = pl.pallas_call(
         kern,
-        in_specs=[smem] + [vmem] * 5 + [smem] + [vmem] * 18,
-        out_specs=[vmem, vmem],
+        in_specs=[smem] + [vmem] * 5 + [smem] + [vmem] * 19,
+        out_specs=[vmem, vmem, vmem],
         out_shape=[
             jax.ShapeDtypeStruct((s2, 1, B), jnp.int32),
             jax.ShapeDtypeStruct((L, B, s2, br), f32),
+            jax.ShapeDtypeStruct((s2, B, K) if forced else (1, 1, 1), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((L, B, s2, br), f32),
@@ -305,8 +329,10 @@ def row_decode(
         d2h_row.astype(f32), d2w_row.astype(f32), cnd_row.astype(f32),
         dfin_row.astype(f32), sprev_row.astype(f32), vhc.astype(f32),
         stacked["w_in"], stacked["b_in"], stacked["w_out"], stacked["b_out"],
-        gumbel.astype(f32),
+        gumbel.astype(f32), fop,
     )
+    if forced:
+        return out[:, 0].T, vhc_out, logits.transpose(1, 0, 2)
     return out[:, 0].T, vhc_out  # (s2, 1, B) -> (B, s2)
 
 

@@ -78,6 +78,10 @@ def _conv_causal_nd(x, w, causal_axes, half):
         padding="VALID",
         dimension_numbers=(dn_in, dn_k, dn_in),
         preferred_element_type=jnp.float32,
+        # HIGHEST: the samplers are the fp32-exact path; the TPU default
+        # would bf16-round these convs (and diverge from the row kernel's
+        # fp32 height step by enough to flip occasional sampled voxels)
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
