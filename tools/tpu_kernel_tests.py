@@ -418,6 +418,7 @@ def test_causal_megakernel():
 
 
 def test_row_decode():
+    os.environ["VQVAE3D_SAMPLE_EXACT"] = "1"  # fp32-exact sampling math
     """Pallas row-decode kernel (ops/decode_row.py) COMPILED, forced-
     teacher mode: per-voxel logits vs the model's ONE-SHOT forward
     (cascade-free exactness). Plus a sampling-mode grid comparison vs the

@@ -113,20 +113,19 @@ def _row_kernel(
         collapse to 2-D first — Mosaic lowers a (B, s2, X)x(X, Y)
         dot_general far worse than the equivalent (B*s2, X) matmul
         (measured ~40x on the height phase)."""
+        from vqvae3d_tpu.sample.cached_sample import sample_precision
+
+        prec = sample_precision()
         if a.ndim == 3:
             bb, ss, xx = a.shape
             r = jax.lax.dot_general(
                 a.reshape(bb * ss, xx), m, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=f32, precision=prec,
             )
             return r.reshape(bb, ss, m.shape[-1])
-        # HIGHEST: the XLA sampler computes fp32 everywhere (_mm uses
-        # Precision.HIGHEST); the TPU's default bf16 matmul rounding would
-        # perturb logits ~1e-2 and occasionally flip sampled voxels
         return jax.lax.dot_general(
             a, m, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
 
     b_in = b_in_ref[0]

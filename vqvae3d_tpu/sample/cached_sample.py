@@ -39,11 +39,25 @@ from vqvae3d_tpu.ops.resize import trilinear_resize
 ELU = jax.nn.elu
 
 
+def sample_precision():
+    """Matmul precision for the sampling path. Default = the backend's
+    fast precision (bf16 MXU rounding on TPU) — the REFERENCE samples
+    under torch.cuda.amp fp16 autocast (sample_embeddings.py:137), so
+    fast is the faithful mode and ~2x quicker. VQVAE3D_SAMPLE_EXACT=1
+    pins fp32-exact math (used by the exactness tests; measured +86%% on
+    top-level sampling)."""
+    import os
+
+    if os.environ.get("VQVAE3D_SAMPLE_EXACT", "0") == "1":
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 def _mm(x, w1x1):
     """(..., Cin) @ 1x1x1 kernel (1,1,1,Cin,Cout) → (..., Cout), fp32."""
     return jnp.einsum(
         "...i,io->...o", x, w1x1[0, 0, 0].astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=sample_precision(),
     )
 
 
@@ -78,10 +92,7 @@ def _conv_causal_nd(x, w, causal_axes, half):
         padding="VALID",
         dimension_numbers=(dn_in, dn_k, dn_in),
         preferred_element_type=jnp.float32,
-        # HIGHEST: the samplers are the fp32-exact path; the TPU default
-        # would bf16-round these convs (and diverge from the row kernel's
-        # fp32 height step by enough to flip occasional sampled voxels)
-        precision=jax.lax.Precision.HIGHEST,
+        precision=sample_precision(),
     )
 
 

@@ -90,15 +90,17 @@ def _attend(q, K, V, nh: int, q_idx, k_valid_upto):
     qh = (q * dh**-0.5).reshape(b, nq, nh, dh)
     kh = K.reshape(b, s, nh, dh)
     vh = V.reshape(b, s, nh, dh)
+    from vqvae3d_tpu.sample.cached_sample import sample_precision
+
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", qh, kh, precision=jax.lax.Precision.HIGHEST
+        "bqhd,bkhd->bhqk", qh, kh, precision=sample_precision()
     ).astype(jnp.float32)
     k_idx = jnp.arange(s)
     mask = k_idx[None, :] <= k_valid_upto[:, None]  # (nq, S)
     logits = jnp.where(mask[None, None], logits, -jnp.inf)
     w = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum(
-        "bhqk,bkhd->bqhd", w, vh, precision=jax.lax.Precision.HIGHEST
+        "bhqk,bkhd->bqhd", w, vh, precision=sample_precision()
     ).reshape(b, nq, br)
 
 
@@ -278,6 +280,109 @@ def _extract_program(model, params) -> _Program:
 # ---------------------------------------------------------------------------
 # Phase A: full-grid depth pass (convs + full causal attention per block)
 # ---------------------------------------------------------------------------
+
+
+def _depth_layer_slice(lp, d_sl, cond_sl, aux_sl, sprev_emb, i0, vprev, half):
+    """One depth layer restricted to slice i0 (incremental form of
+    _depth_layer): the s0-causal conv taps come from the cached previous
+    slice's post-2b value ``vprev`` and the current ``v``; the mask-'A'
+    shift reads the previous slice's parse_input embedding. Returns
+    (d_new_sl, d2h_sl, d2w_sl, v)."""
+    if lp.is_first:
+        u = ELU(sprev_emb + lp.s["1a"]) + lp.s["1b"]
+        u = jnp.where(i0 > 0, u, jnp.zeros_like(u))
+    else:
+        u = ELU(d_sl + lp.s["1a"]) + lp.s["1b"]
+    t = _mm(u, lp.c1["depth_conv"]["kernel"])
+    erf = _mm(t, lp.erf_d["kernel"]) + lp.erf_d["bias"].astype(jnp.float32)
+    d2h, d2w = jnp.split(erf, 2, axis=-1)
+    if aux_sl is not None:
+        t = t + _proj(ELU(aux_sl), lp.aux_p, "depth")
+    v = ELU(t + lp.s["2a"]) + lp.s["2b"]
+    wk = lp.c2["depth_conv"]["kernel"]  # (k-1, k, k, br, br)
+    b2 = _conv_causal_nd(vprev, wk[0], causal_axes=(), half=half)
+    b2 = b2 + _conv_causal_nd(v, wk[1], causal_axes=(), half=half)
+    if cond_sl is not None:
+        b2 = b2 + cond_sl
+    w3 = ELU(b2 + lp.s["3a"]) + lp.s["3b"]
+    out = _mm(w3, lp.c3["depth_conv"]["kernel"]) * lp.scale + lp.s["4"]
+    if lp.skip is not None:
+        sk_in = (
+            jnp.where(i0 > 0, sprev_emb, jnp.zeros_like(sprev_emb))
+            if lp.is_first
+            else d_sl
+        )
+        sk = _proj(sk_in, lp.skip_p, "depth")
+        return out + sk, d2h, d2w, v
+    return out + d_sl, d2h, d2w, v
+
+
+def _depth_slice_step(
+    prog: _Program, sprev_emb, i0, bg_sl, cond_slices, dvc, kd, vd
+):
+    """Incremental depth phase: slice i0's depth-stream outputs from
+    per-layer conv caches (``dvc``: post-2b v at slice i0-1) and
+    append-only attention K/V (``kd``/``vd``; depth values and K/V at
+    slice i0 are FINAL once slice i0-1 is sampled, so nothing is ever
+    recomputed). Equals indexing the full-grid _depth_phase at slice i0
+    (tested via the cached-vs-naive and forced-logits suites).
+
+    sprev_emb: parse_input(x[:, i0-1]) (zeros at i0=0), (B, s1, s2, C).
+    Returns (d2h_sl list, d2w_sl list, d_fin_sl, dvc', kd', vd').
+    """
+    b, s1, s2, _ = sprev_emb.shape
+    slice_v = s1 * s2
+    half = prog.half
+    d = jnp.broadcast_to(prog.b_in, (b, s1, s2, prog.b_in.shape[-1]))
+
+    def cond_at(i):
+        return cond_slices[i] if cond_slices is not None else None
+
+    ci = 0
+    new_dvc = list(dvc)
+    new_kd = list(kd)
+    new_vd = list(vd)
+    d2h_all, d2w_all = [], []
+
+    d, d2h, d2w, new_dvc[ci] = _depth_layer_slice(
+        prog.to_causal, d, cond_at(ci), None, sprev_emb, i0, dvc[ci], half
+    )
+    d2h_all.append(d2h)
+    d2w_all.append(d2w)
+    ci += 1
+
+    for bi, blk in enumerate(prog.blocks):
+        stack_d = d
+        out_d = d
+        for lp in blk.causal:
+            out_d, d2h, d2w, new_dvc[ci] = _depth_layer_slice(
+                lp, out_d, cond_at(ci), None, sprev_emb, i0, dvc[ci], half
+            )
+            d2h_all.append(d2h)
+            d2w_all.append(d2w)
+            ci += 1
+        kv_in = jnp.concatenate([stack_d, out_d, bg_sl], axis=-1)
+        kv = _proj(kv_in, blk.kv, "depth")
+        q_side = kv[..., : prog.branch].reshape(b, slice_v, prog.branch)
+        vals = kv[..., prog.branch :].reshape(b, slice_v, prog.branch)
+        q_in = jnp.concatenate([out_d, bg_sl], axis=-1)
+        k_side = _proj(q_in, blk.q, "depth").reshape(b, slice_v, prog.branch)
+        K = jax.lax.dynamic_update_slice(kd[bi], k_side, (0, i0 * slice_v, 0))
+        V = jax.lax.dynamic_update_slice(vd[bi], vals, (0, i0 * slice_v, 0))
+        new_kd[bi] = K
+        new_vd[bi] = V
+        q_idx = i0 * slice_v + jnp.arange(slice_v)
+        attn = _attend(q_side, K, V, prog.nh, q_idx, q_idx)
+        attn = attn.reshape(b, s1, s2, prog.branch)
+        out_d, d2h, d2w, new_dvc[ci] = _depth_layer_slice(
+            blk.out_proj, out_d, cond_at(ci), attn, sprev_emb, i0, dvc[ci],
+            half,
+        )
+        d2h_all.append(d2h)
+        d2w_all.append(d2w)
+        ci += 1
+        d = out_d
+    return d2h_all, d2w_all, d, new_dvc, new_kd, new_vd
 
 
 def _depth_phase(prog: _Program, s_full, bg, cond_layers):
@@ -527,22 +632,48 @@ def _build_slice_body(
     vw0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
     logits0 = jnp.zeros((b, s0, s1, s2, k), jnp.float32)
 
+    # Incremental depth phase (default on; VQVAE3D_SNAIL_INC=0 restores
+    # the full-grid recompute): per-layer s0-causal conv caches + depth
+    # attention K/V appended per slice.
+    import os as _os
+
+    incremental_depth = _os.environ.get("VQVAE3D_SNAIL_INC", "1") == "1"
+    dvc0 = [
+        jnp.zeros((b, s1, s2, br), jnp.float32) for _ in range(n_layers)
+    ]
+    kd0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
+    vd0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
+
     forced = forced_x is not None
     forced_oh = (
         jax.nn.one_hot(forced_x, k, dtype=jnp.float32) if forced else None
     )
 
     def slice_body(i0, carry):
-        x, rng, kh, vh, kw, vw, logits_acc = carry
-        s_full = parse_in(x)
-        d2h_full, d2w_full, d_fin_full = _depth_phase(prog, s_full, bg, cond_layers)
-
+        x, rng, kh, vh, kw, vw, logits_acc, dvc, kd, vd = carry
         take = lambda a: jax.lax.dynamic_index_in_dim(a, i0, 1, False)
-        d2h_sl = [take(a) for a in d2h_full]
-        d2w_sl = [take(a) for a in d2w_full]
-        d_fin_sl = take(d_fin_full)
         bg_sl = take(bg)
         cond_sl = [take(c) for c in cond_layers] if has_cond else None
+        if incremental_depth:
+            # incremental depth phase: slice i0 only, from the per-layer
+            # conv caches + append-only attention K/V — replaces a full
+            # 41-layer grid tower + 8 full-grid attentions per slice
+            # (measured ~45% of mid-level sampling time, PERF.md)
+            xp = jax.lax.dynamic_index_in_dim(
+                x, jnp.maximum(i0 - 1, 0), 1, False
+            )
+            sprev_emb = jnp.where(i0 > 0, parse_in(xp), 0.0)
+            d2h_sl, d2w_sl, d_fin_sl, dvc, kd, vd = _depth_slice_step(
+                prog, sprev_emb, i0, bg_sl, cond_sl, dvc, kd, vd
+            )
+        else:
+            s_full = parse_in(x)
+            d2h_full, d2w_full, d_fin_full = _depth_phase(
+                prog, s_full, bg, cond_layers
+            )
+            d2h_sl = [take(a) for a in d2h_full]
+            d2w_sl = [take(a) for a in d2w_full]
+            d_fin_sl = take(d_fin_full)
 
         def row_body(i1, carry):
             x, rng, kw, vw, logits_acc = carry
@@ -568,7 +699,7 @@ def _build_slice_body(
                 )
                 for lp in all_lps
             ]
-            s_prev0 = jnp.zeros((b, s_full.shape[-1]), jnp.float32)
+            s_prev0 = jnp.zeros((b, prog.b_in.shape[-1]), jnp.float32)
 
             def voxel_body(i2, carry):
                 x, rng, v_caches, s_prev, kw, vw, logits_acc = carry
@@ -632,9 +763,9 @@ def _build_slice_body(
             jax.lax.dynamic_update_slice(c, vs, (0, i0 * slice_v, 0))
             for c, vs in zip(vh, v_sl)
         ]
-        return (x, rng, kh, vh, kw, vw, logits_acc)
+        return (x, rng, kh, vh, kw, vw, logits_acc, dvc, kd, vd)
 
-    return slice_body, (x0, kh0, vh0, kw0, vw0, logits0)
+    return slice_body, (x0, kh0, vh0, kw0, vw0, logits0, dvc0, kd0, vd0)
 
 
 def cached_snail_sample(
@@ -653,11 +784,14 @@ def cached_snail_sample(
     values and return the per-voxel logits instead (exactness testing
     against the model's one-shot forward).
     """
-    slice_body, (x0, kh0, vh0, kw0, vw0, logits0) = _build_slice_body(
-        model, params, dims, batch_size, condition_idx, tau, forced_x
+    slice_body, (x0, kh0, vh0, kw0, vw0, logits0, dvc0, kd0, vd0) = (
+        _build_slice_body(
+            model, params, dims, batch_size, condition_idx, tau, forced_x
+        )
     )
-    x, _, _, _, _, _, logits_acc = jax.lax.fori_loop(
-        0, dims[0], slice_body, (x0, rng, kh0, vh0, kw0, vw0, logits0)
+    x, _, _, _, _, _, logits_acc, _, _, _ = jax.lax.fori_loop(
+        0, dims[0], slice_body,
+        (x0, rng, kh0, vh0, kw0, vw0, logits0, dvc0, kd0, vd0),
     )
     if forced_x is not None:
         return logits_acc
@@ -725,10 +859,15 @@ def make_cached_snail_sampler(
         return jnp.argmax(x, axis=-1).astype(jnp.int32)
 
     def run(params, rng, condition_idx=None):
-        x0, kh0, vh0, kw0, vw0, logits0 = _init(params, condition_idx)
+        x0, kh0, vh0, kw0, vw0, logits0, dvc0, kd0, vd0 = _init(
+            params, condition_idx
+        )
         # copy the key: the donated carry would otherwise delete the
         # caller's buffer (callers legitimately reuse their key object)
-        carry = (x0, jnp.array(rng, copy=True), kh0, vh0, kw0, vw0, logits0)
+        carry = (
+            x0, jnp.array(rng, copy=True), kh0, vh0, kw0, vw0, logits0,
+            dvc0, kd0, vd0,
+        )
         for i0 in range(dims[0]):
             carry = step(params, condition_idx, jnp.int32(i0), carry)
         return _finish(carry[0])
