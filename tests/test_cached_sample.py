@@ -68,6 +68,35 @@ def test_cached_matches_naive_deeper():
     np.testing.assert_array_equal(np.asarray(naive), np.asarray(cached))
 
 
+def test_incremental_depth_matches_full_recompute(monkeypatch):
+    """The r4 incremental depth tower (per-layer causal-tap caches,
+    VQVAE3D_CNN_INC=1, default) samples the same grids as the full-grid
+    recompute fallback (VQVAE3D_CNN_INC=0)."""
+    cfg = PixelCNNConfig(
+        input_dim=5, condition_dim=4, model_dim=8, kernel_size=3,
+        num_resblocks=2, dropout_prob=0.0, bottleneck_divisor=2,
+        dtype=jnp.float32,
+    )
+    model = PixelCNN(cfg)
+    batch = {
+        "data": np.zeros((2, *DIMS), np.int32),
+        "condition": np.zeros((2, 2, 2, 1), np.int32),
+    }
+    cond = jnp.asarray(
+        np.random.default_rng(3).integers(0, 4, (2, 2, 2, 1)), jnp.int32
+    )
+    params = _randomized_params(model, batch, jax.random.PRNGKey(4))
+    rng = jax.random.PRNGKey(21)
+
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("VQVAE3D_CNN_INC", mode)
+        outs[mode] = np.asarray(
+            cached_ancestral_sample(model, params, rng, DIMS, 2, cond, tau=0.8)
+        )
+    np.testing.assert_array_equal(outs["1"], outs["0"])
+
+
 def test_host_sliced_matches_fori():
     """make_cached_sampler(host_slices=True) — one execution per slice —
     must produce the SAME grids as the single-execution fori_loop driver

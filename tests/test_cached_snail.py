@@ -85,6 +85,31 @@ def test_cached_snail_matches_naive_sampling():
     np.testing.assert_array_equal(np.asarray(naive), np.asarray(cached))
 
 
+def test_incremental_matches_full_recompute(monkeypatch):
+    """The r3/r4 incremental depth+height phases (per-layer causal-tap
+    caches + append-only attention K/V, VQVAE3D_SNAIL_INC=1, default)
+    produce the same forced-teacher logits and the same free-running
+    samples as the full-recompute fallback (VQVAE3D_SNAIL_INC=0)."""
+    model, params, _ = _make(False)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, 5, (2, *DIMS)), jnp.int32)
+    key = jax.random.PRNGKey(13)
+
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("VQVAE3D_SNAIL_INC", mode)
+        logits = cached_snail_sample(
+            model, params, key, DIMS, 2, forced_x=x
+        )
+        sampled = cached_snail_sample(model, params, key, DIMS, 2, tau=0.9)
+        outs[mode] = (np.asarray(logits), np.asarray(sampled))
+
+    np.testing.assert_allclose(
+        outs["1"][0], outs["0"][0], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(outs["1"][1], outs["0"][1])
+
+
 def test_host_sliced_matches_fori():
     """Host-sliced snail sampler (one execution per slice) equals the
     fori_loop driver for the same rng."""

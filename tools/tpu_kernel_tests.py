@@ -418,13 +418,28 @@ def test_causal_megakernel():
 
 
 def test_row_decode():
-    os.environ["VQVAE3D_SAMPLE_EXACT"] = "1"  # fp32-exact sampling math
     """Pallas row-decode kernel (ops/decode_row.py) COMPILED, forced-
     teacher mode: per-voxel logits vs the model's ONE-SHOT forward
-    (cascade-free exactness). Plus a sampling-mode grid comparison vs the
-    XLA voxel loop — a handful of flips are expected there (last-ulp
-    fp32 logit differences under the same Gumbel noise cascade through
-    the autoregression), so that check is fraction-based."""
+    (cascade-free exactness), run BOTH under VQVAE3D_SAMPLE_EXACT=1
+    (fp32 math, tight tolerance) and under the default fast precision
+    (bf16 MXU rounding — the production sampling mode; loose tolerance
+    so drift beyond bf16 scale would be caught). Plus a sampling-mode
+    grid comparison vs the XLA voxel loop — a handful of flips are
+    expected there (last-ulp fp32 logit differences under the same
+    Gumbel noise cascade through the autoregression), so that check is
+    fraction-based."""
+    saved_exact = os.environ.get("VQVAE3D_SAMPLE_EXACT")
+    try:
+        _row_decode_body()
+    finally:
+        if saved_exact is None:
+            os.environ.pop("VQVAE3D_SAMPLE_EXACT", None)
+        else:
+            os.environ["VQVAE3D_SAMPLE_EXACT"] = saved_exact
+
+
+def _row_decode_body():
+    os.environ["VQVAE3D_SAMPLE_EXACT"] = "1"  # fp32-exact sampling math
     from vqvae3d_tpu.models.pixelcnn import PixelCNN, PixelCNNConfig
     from vqvae3d_tpu.models.prior_utils import idx_to_one_hot
     from vqvae3d_tpu.ops.decode_row import row_decode, stack_row_weights
@@ -472,43 +487,49 @@ def test_row_decode():
     b_out = params["parse_output"]["bias"].astype(jnp.float32)
     cond_oh = idx_to_one_hot(cond, cdim)
     cond_up = trilinear_resize(cond_oh, dims).astype(jnp.float32)
-    cond_emb = _mm(cond_up, params["embed_condition"]["kernel"]) + params[
-        "embed_condition"
-    ]["bias"].astype(jnp.float32)
-    cond_layers = [
-        _mm(cond_emb, lp.cond["kernel"]) + lp.cond["bias"].astype(jnp.float32)
-        for lp in layers
-    ]
-    s_full = _mm(x_oh, w_in) + b_in
-    d2h, d2w, d_fin = _depth_tower(layers, s_full, cond_layers, 1)
-    stacked = stack_row_weights(layers, w_in, b_in, w_out, b_out)
-    d2h_stk = jnp.stack(d2h)
-    d2w_stk = jnp.stack(d2w)
-    cond_stk = jnp.stack(cond_layers)
-    br = d2w_stk.shape[-1]
 
-    logits_all = np.zeros((b, *dims, k), np.float32)
-    for i0 in range(s0):
-        vhc = jnp.zeros((n_layers, b, s2, br), jnp.float32)
-        for i1 in range(s1):
-            if i1 > 0:
-                sprev = _mm(x_oh[:, i0, i1 - 1], w_in) + b_in
-            else:
-                sprev = jnp.zeros((b, s2, cfg.model_dim), jnp.float32)
-            _, vhc, lg = row_decode(
-                stacked,
-                d2h_stk[:, :, i0, i1],
-                d2w_stk[:, :, i0, i1],
-                cond_stk[:, :, i0, i1],
-                d_fin[:, i0, i1],
-                sprev,
-                vhc,
-                jnp.zeros((s2, b, k), jnp.float32),
-                jnp.int32(i1),
-                1.0,
-                forced_idx=x_idx[:, i0, i1],
-            )
-            logits_all[:, i0, i1] = np.asarray(lg)
+    def forced_logits():
+        """Forced-teacher per-voxel logits via the row kernel, computed
+        under the CURRENT sampling precision mode (env read at trace)."""
+        cond_emb = _mm(cond_up, params["embed_condition"]["kernel"]) + params[
+            "embed_condition"
+        ]["bias"].astype(jnp.float32)
+        cond_layers = [
+            _mm(cond_emb, lp.cond["kernel"])
+            + lp.cond["bias"].astype(jnp.float32)
+            for lp in layers
+        ]
+        s_full = _mm(x_oh, w_in) + b_in
+        d2h, d2w, d_fin = _depth_tower(layers, s_full, cond_layers, 1)
+        stacked = stack_row_weights(layers, w_in, b_in, w_out, b_out)
+        d2h_stk = jnp.stack(d2h)
+        d2w_stk = jnp.stack(d2w)
+        cond_stk = jnp.stack(cond_layers)
+        br = d2w_stk.shape[-1]
+
+        logits_all = np.zeros((b, *dims, k), np.float32)
+        for i0 in range(s0):
+            vhc = jnp.zeros((n_layers, b, s2, br), jnp.float32)
+            for i1 in range(s1):
+                if i1 > 0:
+                    sprev = _mm(x_oh[:, i0, i1 - 1], w_in) + b_in
+                else:
+                    sprev = jnp.zeros((b, s2, cfg.model_dim), jnp.float32)
+                _, vhc, lg = row_decode(
+                    stacked,
+                    d2h_stk[:, :, i0, i1],
+                    d2w_stk[:, :, i0, i1],
+                    cond_stk[:, :, i0, i1],
+                    d_fin[:, i0, i1],
+                    sprev,
+                    vhc,
+                    jnp.zeros((s2, b, k), jnp.float32),
+                    jnp.int32(i1),
+                    1.0,
+                    forced_idx=x_idx[:, i0, i1],
+                )
+                logits_all[:, i0, i1] = np.asarray(lg)
+        return jnp.asarray(logits_all)
 
     with jax.default_matmul_precision("highest"):
         ref = jax.jit(
@@ -517,8 +538,18 @@ def test_row_decode():
     scale = float(jnp.max(jnp.abs(ref)))
     check(
         "row-decode forced logits vs one-shot forward",
-        _maxdiff(jnp.asarray(logits_all), ref), 1e-3, scale=scale,
+        _maxdiff(forced_logits(), ref), 1e-3, scale=scale,
     )
+
+    # default (fast/bf16) precision — the production sampling mode: the
+    # same cascade-free comparison with a bf16-scale tolerance, so any
+    # drift beyond MXU rounding in the default path is caught
+    os.environ["VQVAE3D_SAMPLE_EXACT"] = "0"
+    check(
+        "row-decode forced logits (default fast precision)",
+        _maxdiff(forced_logits(), ref), 5e-2, scale=scale,
+    )
+    os.environ["VQVAE3D_SAMPLE_EXACT"] = "1"
 
     # sampling mode: same Gumbel table both sides; allow a small flip
     # fraction from last-ulp logit differences cascading

@@ -157,6 +157,67 @@ def _depth_tower(layers, s_in, cond_layers, half):
     return d2h_all, d2w_all, d
 
 
+def _depth_tower_slice(layers, b_in, sprev_emb, i0, cond_sl, dvc, half):
+    """Incremental depth tower: slice i0's outputs from per-layer causal-
+    tap caches — the r4 counterpart of cached_snail._depth_slice_step for
+    the attention-free PixelCNN (kills the per-slice full-grid recompute,
+    measured 51.2 ms x 128 slices = 6.6 s of the 20.2 s top-level sample,
+    PERF.md).
+
+    Why it is exact: depth-stream values at slice i0 are functions of
+    x[slices < i0] only (the mask-'A' shift + front-padded causal depth
+    convs), so once slice i0-1 is sampled they are final, and the only
+    cross-slice carriers are (a) the previous slice's raw embedding (the
+    mask-'A' shift/skip input) and (b) each layer's post-2b branch value
+    at the previous k-2 slices (the causal conv taps) — ``dvc``.
+
+    sprev_emb: parse_in(x[:, i0-1]) zeroed at i0=0, (B, s1, s2, C).
+    dvc: per-layer (B, k-2, s1, s2, br).
+    Returns (d2h_sl [L], d2w_sl [L], d_fin_sl, dvc')."""
+    b, s1, s2, _ = sprev_emb.shape
+    d = jnp.broadcast_to(b_in, (b, s1, s2, b_in.shape[-1]))
+    d2h_all, d2w_all = [], []
+    new_dvc = list(dvc)
+    for li, lp in enumerate(layers):
+        if lp.is_first:
+            u = ELU(sprev_emb + lp.s["1a"]) + lp.s["1b"]
+            u = jnp.where(i0 > 0, u, jnp.zeros_like(u))
+        else:
+            u = ELU(d + lp.s["1a"]) + lp.s["1b"]
+        t = _mm(u, lp.c1["depth_conv"]["kernel"])
+        erf = _mm(t, lp.erf_d["kernel"]) + lp.erf_d["bias"].astype(jnp.float32)
+        d2h, d2w = jnp.split(erf, 2, axis=-1)
+        d2h_all.append(d2h)
+        d2w_all.append(d2w)
+
+        v = ELU(t + lp.s["2a"]) + lp.s["2b"]
+        wk = lp.c2["depth_conv"]["kernel"]  # (k-1, k, k, br, br)
+        taps = jnp.concatenate([dvc[li], v[:, None]], axis=1)  # (B,k-1,s1,s2,br)
+        b2 = _conv_causal_nd(taps[:, 0], wk[0], causal_axes=(), half=half)
+        for ti in range(1, wk.shape[0]):
+            b2 = b2 + _conv_causal_nd(
+                taps[:, ti], wk[ti], causal_axes=(), half=half
+            )
+        new_dvc[li] = taps[:, 1:]
+        if cond_sl is not None:
+            b2 = b2 + cond_sl[li]
+        w3 = ELU(b2 + lp.s["3a"]) + lp.s["3b"]
+        out = _mm(w3, lp.c3["depth_conv"]["kernel"]) * lp.scale + lp.s["4"]
+        if lp.skip is not None:
+            sk_in = (
+                jnp.where(i0 > 0, sprev_emb, jnp.zeros_like(sprev_emb))
+                if lp.is_first
+                else d
+            )
+            sk = _mm(sk_in, lp.skip["depth_conv"]["kernel"]) + lp.skip[
+                "depth_conv"
+            ]["bias"].astype(jnp.float32)
+            d = out + sk
+        else:
+            d = out + d
+    return d2h_all, d2w_all, d, new_dvc
+
+
 # ---------------------------------------------------------------------------
 # Phase B: height tower over one slice
 # ---------------------------------------------------------------------------
@@ -273,7 +334,8 @@ def _build_slice_body(
 
     ``row_kernel``: run the voxel phase as ONE Pallas call per row
     (ops/decode_row.py — same draws via the precomputed Gumbel table).
-    None = auto (on on a single real TPU); "interpret" for CPU tests."""
+    None = auto (on on a single real TPU, both drivers); "interpret"
+    for CPU tests."""
     import os
 
     cfg = model.config
@@ -336,21 +398,50 @@ def _build_slice_body(
 
     x0 = jnp.zeros((b, s0, s1, s2, k), jnp.float32)
 
+    # Incremental depth tower (default on; VQVAE3D_CNN_INC=0 restores the
+    # full-grid recompute): per-layer causal-tap caches make slice i0's
+    # depth pass O(slice) instead of O(grid) — see _depth_tower_slice.
+    incremental = os.environ.get("VQVAE3D_CNN_INC", "1") == "1"
+    if incremental:
+        dvc0 = [
+            jnp.zeros(
+                (b, lp.c2["depth_conv"]["kernel"].shape[0] - 1, s1, s2,
+                 lp.c2["depth_conv"]["kernel"].shape[-2]),
+                jnp.float32,
+            )
+            for lp in layers
+        ]
+    else:
+        dvc0 = [jnp.zeros((1,), jnp.float32) for _ in layers]
+
     def slice_body(i0, carry):
-        x, rng = carry
-        s_full = parse_in(x)
-        d2h_full, d2w_full, d_fin_full = _depth_tower(
-            layers, s_full, cond_layers, half
-        )
-        # slice-local caches
-        d2h_sl = [jax.lax.dynamic_index_in_dim(a, i0, 1, False) for a in d2h_full]
-        d2w_sl = [jax.lax.dynamic_index_in_dim(a, i0, 1, False) for a in d2w_full]
-        d_fin_sl = jax.lax.dynamic_index_in_dim(d_fin_full, i0, 1, False)
+        x, rng, dvc = carry
         cond_sl = (
             [jax.lax.dynamic_index_in_dim(c, i0, 1, False) for c in cond_layers]
             if has_cond
             else None
         )
+        if incremental:
+            xp = jax.lax.dynamic_index_in_dim(
+                x, jnp.maximum(i0 - 1, 0), 1, False
+            )
+            sprev_emb = jnp.where(i0 > 0, parse_in(xp), 0.0)
+            d2h_sl, d2w_sl, d_fin_sl, dvc = _depth_tower_slice(
+                layers, b_in, sprev_emb, i0, cond_sl, dvc, half
+            )
+        else:
+            s_full = parse_in(x)
+            d2h_full, d2w_full, d_fin_full = _depth_tower(
+                layers, s_full, cond_layers, half
+            )
+            # slice-local caches
+            d2h_sl = [
+                jax.lax.dynamic_index_in_dim(a, i0, 1, False) for a in d2h_full
+            ]
+            d2w_sl = [
+                jax.lax.dynamic_index_in_dim(a, i0, 1, False) for a in d2w_full
+            ]
+            d_fin_sl = jax.lax.dynamic_index_in_dim(d_fin_full, i0, 1, False)
         if row_kernel:
             # one Pallas call per row (ops/decode_row.py): the in-kernel
             # height-row step replaces the XLA height tower entirely; its
@@ -396,7 +487,7 @@ def _build_slice_body(
             x, rng, _ = jax.lax.fori_loop(
                 0, s1, row_body_k, (x, rng, vhc0)
             )
-            return (x, rng)
+            return (x, rng, dvc)
 
         def row_body(i1, carry):
             x, rng = carry
@@ -424,7 +515,7 @@ def _build_slice_body(
                           jnp.float32)
                 for ws, lp in zip(ws_list, layers)
             ]
-            s_prev0 = jnp.zeros((b, s_full.shape[-1]), jnp.float32)
+            s_prev0 = jnp.zeros((b, b_in.shape[-1]), jnp.float32)
 
             def voxel_body(i2, carry):
                 x, rng, v_caches, s_prev = carry
@@ -468,9 +559,9 @@ def _build_slice_body(
             return (x, rng)
 
         x, rng = jax.lax.fori_loop(0, s1, row_body, (x, rng))
-        return (x, rng)
+        return (x, rng, dvc)
 
-    return slice_body, x0
+    return slice_body, (x0, dvc0)
 
 
 def cached_ancestral_sample(
@@ -483,10 +574,10 @@ def cached_ancestral_sample(
     tau: float = 1.0,
     row_kernel=False,
 ) -> jax.Array:
-    slice_body, x0 = _build_slice_body(
+    slice_body, (x0, dvc0) = _build_slice_body(
         model, params, dims, batch_size, condition_idx, tau, row_kernel
     )
-    x, _ = jax.lax.fori_loop(0, dims[0], slice_body, (x0, rng))
+    x, _, _ = jax.lax.fori_loop(0, dims[0], slice_body, (x0, rng, dvc0))
     return jnp.argmax(x, axis=-1).astype(jnp.int32)
 
 
@@ -494,7 +585,17 @@ def cached_ancestral_sample(
 # host (identical math — the fori_loop merely moves to Python): bounds
 # per-execution device time, which both keeps the remote-TPU execution
 # watchdog happy (~1 min hard kill, measured) and streams progress.
+# Configurable because the threshold is runtime-shaped, not model-shaped:
+# on a standard libtpu runtime (no execution watchdog) a much larger
+# value — or VQVAE3D_HOST_SLICES_ABOVE=0 to always host-slice, or a
+# huge value to never — may be preferable (see README "Runtime quirks").
 _HOST_SLICES_ABOVE = 8192
+
+
+def _host_slices_threshold(env_name: str, default: int) -> int:
+    import os
+
+    return int(os.environ.get(env_name, str(default)))
 
 
 def make_cached_sampler(
@@ -507,12 +608,15 @@ def make_cached_sampler(
 ):
     """Cached sampler with the same signature as
     ar_sample.make_ancestral_sampler. ``host_slices`` defaults to on for
-    grids above _HOST_SLICES_ABOVE voxels (exactness: the host loop is
-    the same slice_body chained by its carry — tested in
-    tests/test_cached_sample.py). ``row_kernel`` (None = auto on single
-    real TPU) runs the voxel phase as one Pallas call per row."""
+    grids above VQVAE3D_HOST_SLICES_ABOVE voxels (default 8192;
+    exactness: the host loop is the same slice_body chained by its
+    carry — tested in tests/test_cached_sample.py). ``row_kernel``
+    (None = auto on single real TPU) runs the voxel phase as one Pallas
+    call per row."""
     if host_slices is None:
-        host_slices = dims[0] * dims[1] * dims[2] > _HOST_SLICES_ABOVE
+        host_slices = dims[0] * dims[1] * dims[2] > _host_slices_threshold(
+            "VQVAE3D_HOST_SLICES_ABOVE", _HOST_SLICES_ABOVE
+        )
     has_cond = model.config.use_conditioning
 
     if not host_slices:
@@ -522,7 +626,7 @@ def make_cached_sampler(
             def sampler(params, rng, condition_idx):
                 return cached_ancestral_sample(
                     model, params, rng, dims, batch_size, condition_idx,
-                    tau, row_kernel or False,
+                    tau, row_kernel,
                 )
 
         else:
@@ -531,7 +635,7 @@ def make_cached_sampler(
             def sampler(params, rng):
                 return cached_ancestral_sample(
                     model, params, rng, dims, batch_size, None,
-                    tau, row_kernel or False,
+                    tau, row_kernel,
                 )
 
         return sampler
@@ -546,11 +650,11 @@ def make_cached_sampler(
 
     @jax.jit
     def _init(params, condition_idx):
-        slice_body, x0 = _build_slice_body(
+        slice_body, carry0 = _build_slice_body(
             model, params, dims, batch_size, condition_idx, tau, False
         )
         del slice_body
-        return x0
+        return carry0
 
     @jax.jit
     def _finish(x):
@@ -559,7 +663,8 @@ def make_cached_sampler(
     def run(params, rng, condition_idx=None):
         # copy the key: the donated carry would otherwise delete the
         # caller's buffer (callers legitimately reuse their key object)
-        carry = (_init(params, condition_idx), jnp.array(rng, copy=True))
+        x0, dvc0 = _init(params, condition_idx)
+        carry = (x0, jnp.array(rng, copy=True), dvc0)
         for i0 in range(dims[0]):
             carry = step(params, condition_idx, jnp.int32(i0), carry)
         return _finish(carry[0])

@@ -435,6 +435,130 @@ def _depth_phase(prog: _Program, s_full, bg, cond_layers):
 
 
 # ---------------------------------------------------------------------------
+# Phase B (incremental): row-restricted height pass with per-layer
+# causal-tap caches and append-only K/V (r4 — the same decomposition that
+# took the PixelCNN top level 126 s -> 20 s, applied at row granularity).
+#
+# Why it is exact: every height-stream value at row i1 is a function of
+# x[slices < i0] ∪ x[i0, rows < i1] only (the mask-'A' shift in to_causal
+# moves the raw embedding down one row; all later height convs are
+# front-padded causal over s1), so once row i1−1 is sampled, row i1's
+# height values — and therefore its attention keys/values — are FINAL.
+# The full-slice height pass recomputed per row (30.3 ms/row at the mid
+# config, PERF.md) only ever used its row-i1 restriction; the commit
+# pass at end-of-slice recomputed K/V the per-row appends now write
+# directly (same math: K at row j depends on rows < j, all sampled when
+# row j's pass runs). Equality is pinned by tests/test_cached_snail.py
+# (forced-teacher logits vs the one-shot forward, both sampler drivers).
+# ---------------------------------------------------------------------------
+
+
+def _height_layer_row(lp: _LayerParams, h_row, d2h_row, cond_row, aux_row,
+                      rprev_emb, i1, hv_prev, half):
+    """One height layer restricted to row i1 (incremental form of
+    _height_layer). h_row: (B, s2, C) stream value at row i1; rprev_emb:
+    parse_input(x[i0, i1-1]) (zeros at i1=0); hv_prev: (B, k-2, s2, br)
+    cached post-2b branch values at rows i1-(k-2)..i1-1.
+
+    Returns (h_new_row, h2w_row, hv_new) — hv_new is the rolled tap
+    window (B, k-2, s2, br): the next row's cache entry."""
+    if lp.is_first:
+        u = ELU(rprev_emb + lp.s["1a"]) + lp.s["1b"]
+        u = jnp.where(i1 > 0, u, jnp.zeros_like(u))
+    else:
+        u = ELU(h_row + lp.s["1a"]) + lp.s["1b"]
+    t_pre = _mm(u, lp.c1["height_conv"]["kernel"])
+    h2w = _mm(t_pre, lp.erf_h["kernel"]) + lp.erf_h["bias"].astype(jnp.float32)
+    t = t_pre + d2h_row
+    if aux_row is not None:
+        t = t + _proj(ELU(aux_row), lp.aux_p, "height")
+    v = ELU(t + lp.s["2a"]) + lp.s["2b"]
+    kern = lp.c2["height_conv"]["kernel"][0]  # (k-1, k, br, br)
+    taps = jnp.concatenate([hv_prev, v[:, None]], axis=1)  # (B, k-1, s2, br)
+    b2 = _conv_causal_nd(taps[:, 0], kern[0], causal_axes=(), half=half)
+    for ti in range(1, kern.shape[0]):
+        b2 = b2 + _conv_causal_nd(
+            taps[:, ti], kern[ti], causal_axes=(), half=half
+        )
+    hv_new = taps[:, 1:]
+    if cond_row is not None:
+        b2 = b2 + cond_row
+    w3 = ELU(b2 + lp.s["3a"]) + lp.s["3b"]
+    out = _mm(w3, lp.c3["height_conv"]["kernel"]) * lp.scale + lp.s["4"]
+    if lp.skip is not None:
+        sk_in = (
+            jnp.where(i1 > 0, rprev_emb, jnp.zeros_like(rprev_emb))
+            if lp.is_first
+            else h_row
+        )
+        sk = _proj(sk_in, lp.skip_p, "height")
+        return out + sk, h2w, hv_new
+    return out + h_row, h2w, hv_new
+
+
+def _height_row_step(prog: _Program, rprev_emb, i1, row_off, bg_row,
+                     cond_rows, d2h_rows, hvc, kh, vh):
+    """Incremental height phase: row i1's height-stream outputs from the
+    per-layer conv caches (``hvc``) and append-only height K/V
+    (``kh``/``vh``, written at flat offset ``row_off`` — final at row
+    start since they depend only on rows < i1). Equals indexing the
+    full-slice _height_phase at row i1.
+
+    rprev_emb: parse_input(x[i0, i1-1]) (zeros at i1=0), (B, s2, C);
+    d2h_rows: flat per-layer (B, s2, br) depth injections at row i1.
+    Returns (h2w_rows, h_fin_row, hvc', kh', vh').
+    """
+    b, s2, _ = rprev_emb.shape
+    h = jnp.broadcast_to(prog.b_in, (b, s2, prog.b_in.shape[-1]))
+    ci = 0
+    new_hvc = list(hvc)
+    new_kh = list(kh)
+    new_vh = list(vh)
+    h2w_all = []
+
+    def cond_at(i):
+        return cond_rows[i] if cond_rows is not None else None
+
+    h, h2w, new_hvc[ci] = _height_layer_row(
+        prog.to_causal, h, d2h_rows[ci], cond_at(ci), None, rprev_emb, i1,
+        hvc[ci], prog.half,
+    )
+    h2w_all.append(h2w)
+    ci += 1
+
+    for bi, blk in enumerate(prog.blocks):
+        stack_h = h
+        out_h = h
+        for lp in blk.causal:
+            out_h, h2w, new_hvc[ci] = _height_layer_row(
+                lp, out_h, d2h_rows[ci], cond_at(ci), None, rprev_emb, i1,
+                hvc[ci], prog.half,
+            )
+            h2w_all.append(h2w)
+            ci += 1
+        kv_in = jnp.concatenate([stack_h, out_h, bg_row], axis=-1)
+        kv = _proj(kv_in, blk.kv, "height")
+        q_side = kv[..., : prog.branch]  # (B, s2, br)
+        vals = kv[..., prog.branch :]
+        q_in = jnp.concatenate([out_h, bg_row], axis=-1)
+        k_side = _proj(q_in, blk.q, "height")
+        K = jax.lax.dynamic_update_slice(kh[bi], k_side, (0, row_off, 0))
+        V = jax.lax.dynamic_update_slice(vh[bi], vals, (0, row_off, 0))
+        new_kh[bi] = K
+        new_vh[bi] = V
+        q_idx = row_off + jnp.arange(s2)
+        attn = _attend(q_side, K, V, prog.nh, q_idx, q_idx)
+        out_h, h2w, new_hvc[ci] = _height_layer_row(
+            blk.out_proj, out_h, d2h_rows[ci], cond_at(ci), attn, rprev_emb,
+            i1, hvc[ci], prog.half,
+        )
+        h2w_all.append(h2w)
+        ci += 1
+        h = out_h
+    return h2w_all, h, new_hvc, new_kh, new_vh
+
+
+# ---------------------------------------------------------------------------
 # Phase B: slice-local height pass with committed KV caches
 # ---------------------------------------------------------------------------
 
@@ -632,17 +756,25 @@ def _build_slice_body(
     vw0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
     logits0 = jnp.zeros((b, s0, s1, s2, k), jnp.float32)
 
-    # Incremental depth phase (default on; VQVAE3D_SNAIL_INC=0 restores
-    # the full-grid recompute): per-layer s0-causal conv caches + depth
-    # attention K/V appended per slice.
+    # Incremental depth + height phases (default on; VQVAE3D_SNAIL_INC=0
+    # restores the full-grid/full-slice recompute path): per-layer causal
+    # conv-tap caches + attention K/V appended per slice (depth) / per
+    # row (height). When disabled, the carries hold (1,)-dummies so the
+    # fallback mode doesn't pay the cache memory (~1.3 GB at mid size).
     import os as _os
 
-    incremental_depth = _os.environ.get("VQVAE3D_SNAIL_INC", "1") == "1"
-    dvc0 = [
-        jnp.zeros((b, s1, s2, br), jnp.float32) for _ in range(n_layers)
-    ]
-    kd0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
-    vd0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
+    incremental = _os.environ.get("VQVAE3D_SNAIL_INC", "1") == "1"
+    _dummy = jnp.zeros((1,), jnp.float32)
+    if incremental:
+        dvc0 = [
+            jnp.zeros((b, s1, s2, br), jnp.float32) for _ in range(n_layers)
+        ]
+        kd0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
+        vd0 = [jnp.zeros((b, v_total, br), jnp.float32) for _ in range(nb)]
+    else:
+        dvc0 = [_dummy for _ in range(n_layers)]
+        kd0 = [_dummy for _ in range(nb)]
+        vd0 = [_dummy for _ in range(nb)]
 
     forced = forced_x is not None
     forced_oh = (
@@ -654,7 +786,7 @@ def _build_slice_body(
         take = lambda a: jax.lax.dynamic_index_in_dim(a, i0, 1, False)
         bg_sl = take(bg)
         cond_sl = [take(c) for c in cond_layers] if has_cond else None
-        if incremental_depth:
+        if incremental:
             # incremental depth phase: slice i0 only, from the per-layer
             # conv caches + append-only attention K/V — replaces a full
             # 41-layer grid tower + 8 full-grid attentions per slice
@@ -675,16 +807,9 @@ def _build_slice_body(
             d2w_sl = [take(a) for a in d2w_full]
             d_fin_sl = take(d_fin_full)
 
-        def row_body(i1, carry):
-            x, rng, kw, vw, logits_acc = carry
-            x_sl = jax.lax.dynamic_index_in_dim(x, i0, 1, False)
-            s_sl = parse_in(x_sl)
-            h2w_sl, h_fin_sl, _, _ = _height_phase(
-                prog, s_sl, bg_sl, i0, d2h_sl, cond_sl, kh, vh
-            )
+        def row_inner(i1, h2w_row, h_fin_row, x, rng, kw, vw, logits_acc):
+            """Voxel loop over row i1 (shared by both row drivers)."""
             taker = lambda a: jax.lax.dynamic_index_in_dim(a, i1, 1, False)
-            h2w_row = [taker(a) for a in h2w_sl]
-            h_fin_row = taker(h_fin_sl)
             d2w_row = [taker(a) for a in d2w_sl]
             d_fin_row = taker(d_fin_sl)
             bg_row = taker(bg_sl)
@@ -742,6 +867,65 @@ def _build_slice_body(
             x, rng, _, _, kw, vw, logits_acc = jax.lax.fori_loop(
                 0, s2, voxel_body,
                 (x, rng, v_caches0, s_prev0, kw, vw, logits_acc),
+            )
+            return x, rng, kw, vw, logits_acc
+
+        if incremental:
+            # incremental height phase: row i1 only, from per-layer
+            # conv-tap caches (hvc: post-2b v at the previous k-2 rows)
+            # + per-row appended height K/V — replaces a full-slice
+            # 41-layer tower + attention pass per row (measured
+            # 30.3 ms/row x ~1056 rows ≈ half of mid-level sampling,
+            # PERF.md). The end-of-slice commit pass disappears: row
+            # K/V are final at row start and already appended.
+            hvc0 = [
+                jnp.zeros(
+                    (b, lp.c2["height_conv"]["kernel"].shape[1] - 1, s2,
+                     lp.c2["height_conv"]["kernel"].shape[-2]),
+                    jnp.float32,
+                )
+                for lp in prog.all_layers
+            ]
+
+            def row_body(i1, carry):
+                x, rng, kw, vw, logits_acc, hvc, kh, vh = carry
+                xp_row = jax.lax.dynamic_slice(
+                    x, (0, i0, jnp.maximum(i1 - 1, 0), 0, 0),
+                    (b, 1, 1, s2, k),
+                ).reshape(b, s2, k)
+                rprev_emb = jnp.where(i1 > 0, parse_in(xp_row), 0.0)
+                row_off = i0 * slice_v + i1 * s2
+                taker = lambda a: jax.lax.dynamic_index_in_dim(a, i1, 1, False)
+                d2h_row = [taker(a) for a in d2h_sl]
+                bg_row = taker(bg_sl)
+                cond_row = [taker(c) for c in cond_sl] if has_cond else None
+                h2w_row, h_fin_row, hvc, kh, vh = _height_row_step(
+                    prog, rprev_emb, i1, row_off, bg_row, cond_row,
+                    d2h_row, hvc, kh, vh,
+                )
+                x, rng, kw, vw, logits_acc = row_inner(
+                    i1, h2w_row, h_fin_row, x, rng, kw, vw, logits_acc
+                )
+                return (x, rng, kw, vw, logits_acc, hvc, kh, vh)
+
+            x, rng, kw, vw, logits_acc, _, kh, vh = jax.lax.fori_loop(
+                0, s1, row_body,
+                (x, rng, kw, vw, logits_acc, hvc0, kh, vh),
+            )
+            return (x, rng, kh, vh, kw, vw, logits_acc, dvc, kd, vd)
+
+        def row_body(i1, carry):
+            x, rng, kw, vw, logits_acc = carry
+            x_sl = jax.lax.dynamic_index_in_dim(x, i0, 1, False)
+            s_sl = parse_in(x_sl)
+            h2w_sl, h_fin_sl, _, _ = _height_phase(
+                prog, s_sl, bg_sl, i0, d2h_sl, cond_sl, kh, vh
+            )
+            taker = lambda a: jax.lax.dynamic_index_in_dim(a, i1, 1, False)
+            h2w_row = [taker(a) for a in h2w_sl]
+            h_fin_row = taker(h_fin_sl)
+            x, rng, kw, vw, logits_acc = row_inner(
+                i1, h2w_row, h_fin_row, x, rng, kw, vw, logits_acc
             )
             return (x, rng, kw, vw, logits_acc)
 
@@ -801,7 +985,8 @@ def cached_snail_sample(
 # One execution per slice above this total-voxel count (same rationale and
 # exactness as cached_sample._HOST_SLICES_ABOVE; the snail's per-voxel
 # attention makes its executions far longer per voxel, so the threshold
-# is lower).
+# is lower). Override with VQVAE3D_SNAIL_HOST_SLICES_ABOVE (runtime-
+# shaped, not model-shaped — see README "Runtime quirks").
 _HOST_SLICES_ABOVE = 2048
 
 
@@ -814,10 +999,15 @@ def make_cached_snail_sampler(
 ):
     """Cached PixelSNAIL sampler (same signature as the PixelCNN cached
     sampler). ``host_slices`` defaults to on for grids above
-    _HOST_SLICES_ABOVE voxels: the same slice_body runs as one device
-    execution per slice, chained by its carry."""
+    VQVAE3D_SNAIL_HOST_SLICES_ABOVE voxels (default 2048): the same
+    slice_body runs as one device execution per slice, chained by its
+    carry."""
     if host_slices is None:
-        host_slices = dims[0] * dims[1] * dims[2] > _HOST_SLICES_ABOVE
+        from vqvae3d_tpu.sample.cached_sample import _host_slices_threshold
+
+        host_slices = dims[0] * dims[1] * dims[2] > _host_slices_threshold(
+            "VQVAE3D_SNAIL_HOST_SLICES_ABOVE", _HOST_SLICES_ABOVE
+        )
     has_cond = model.config.use_conditioning
 
     if not host_slices:
