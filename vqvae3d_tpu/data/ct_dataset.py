@@ -206,30 +206,53 @@ class CTDataModule:
         if n_batches == 0:
             return
 
-        def load_batch(b):
-            rows = idx[b * bs + lo : b * bs + lo + bs_local]
-            samples = [self.dataset[int(i)] for i in rows]
-            vols = np.stack([s[0] for s in samples])
-            nvs = np.array([s[1] for s in samples], np.int32)
+        def load_sample(i):
+            vol, nv = self.dataset[int(i)]
             if fold > 1:
-                # pre-fold to the stem's space-to-depth layout on the
-                # decode threads: the in-jit fold of a (512,512,128,1)
-                # volume is a strided relayout XLA executes at ~1/50th of
-                # HBM bandwidth (~19 ms/step of core time at 512-res —
-                # PERF.md); here it's hidden behind the batch prefetch.
-                vols = fold_volume_np(vols, fold)
-            return {"volume": vols, "num_valid_slices": nvs}
+                # pre-fold to the stem's space-to-depth layout PER SAMPLE
+                # on the decode threads: the in-jit fold of a
+                # (512,512,128,1) volume is a strided relayout XLA
+                # executes at ~1/50th of HBM bandwidth (~19 ms/step of
+                # core time at 512-res — PERF.md), and the host fold is
+                # ~150 ms/volume single-threaded (BENCH_r03) — per-sample
+                # folding makes it scale with num_workers instead of
+                # serializing per batch.
+                vol = fold_volume_np(vol[None], fold)[0]
+            return vol, nv
 
-        with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
-            prefetch = 2
+        # Decode pool (samples) and a separate assembly pool (stack into
+        # batches): assembly tasks BLOCK on their sample futures, so they
+        # must not share the decode pool (a saturated shared pool would
+        # deadlock — every worker waiting on sample tasks that can never
+        # be scheduled). Prefetch scales with the worker count so all
+        # workers stay busy (a fixed prefetch of 2 batches capped
+        # concurrency at 2 samples for batch-size-1 runs regardless of
+        # num_workers — the r3 loader's ceiling).
+        prefetch = max(2, -(-max(1, self.num_workers) // bs_local) + 1)
+        with ThreadPoolExecutor(
+            max_workers=max(1, self.num_workers)
+        ) as pool, ThreadPoolExecutor(max_workers=2) as asm:
+
+            def submit_batch(b):
+                rows = idx[b * bs + lo : b * bs + lo + bs_local]
+                futs = [pool.submit(load_sample, int(i)) for i in rows]
+
+                def assemble(futs=futs):
+                    samples = [f.result() for f in futs]
+                    vols = np.stack([s[0] for s in samples])
+                    nvs = np.array([s[1] for s in samples], np.int32)
+                    return {"volume": vols, "num_valid_slices": nvs}
+
+                return asm.submit(assemble)
+
             futures = queue.Queue()
             for b in range(min(prefetch, n_batches)):
-                futures.put(pool.submit(load_batch, b))
+                futures.put(submit_batch(b))
             for b in range(n_batches):
                 batch = futures.get().result()
                 nxt = b + prefetch
                 if nxt < n_batches:
-                    futures.put(pool.submit(load_batch, nxt))
+                    futures.put(submit_batch(nxt))
                 yield batch
 
     def train_dataloader(

@@ -18,10 +18,13 @@ models/causal_blocks.py) to decompose sampling into three cached phases:
   * VOXEL phase — the width-stream chain is a per-voxel scan of 1×1×1
     contractions + a ws-tap width conv, fed by the cached d2w/h2w.
 
-Total cost ≈ (s0/3 + s1 + s2) full-forward-equivalents instead of V —
-three to four orders of magnitude less compute for the reference's code
-grids, with bit-identical results (tests/test_cached_sample.py verifies
-equality against the naive sampler).
+With the r4 incremental depth tower (_depth_tower_slice — per-layer
+causal-tap caches so slice i0's depth pass is O(slice), not O(grid);
+VQVAE3D_CNN_INC=0 restores the recompute form) total conv work is O(V):
+every stream value is computed exactly once across the whole sampling
+run — vs the reference's O(V²) — with bit-identical results
+(tests/test_cached_sample.py verifies equality against the naive
+sampler, k=3 and k=5, and incremental vs recompute).
 
 Supports PixelCNN with PreActFixupCausalResBlock (the configuration used by
 every reference prior job; see SURVEY §6) with or without conditioning.

@@ -24,10 +24,16 @@ from the keys-half of key_value_proj(stack, out, background); the attended
 (key-side) vectors come from query_proj(out, background); values from the
 values-half of key_value_proj.
 
-Cost: s0 full-grid depth passes + s0·s1 slice-local height passes + V
-voxel steps (+ 1 height commit pass per slice) — ~(s0 + s1 + s2)/3
-full-forward-equivalents for the convs plus O(V²·dh) attention MACs
-(inherent to attention sampling), vs the reference's O(V²) full forwards.
+Cost (r4, incremental default): every conv layer's work is O(V) TOTAL
+across the whole sampling run — each voxel's depth/height/width stream
+values are computed exactly once, from per-layer causal-tap caches
+(depth: post-2b v at the previous slice, _depth_slice_step; height: the
+previous k-2 rows, _height_row_step) — plus O(V²·dh) attention MACs
+(inherent to attention sampling; K/V are append-only, never recomputed).
+VQVAE3D_SNAIL_INC=0 restores the r3 recompute formulation (s0 full-grid
+depth passes + s0·s1 slice-local height passes + a per-slice commit).
+The two are equality-tested against each other and against the one-shot
+forward (tests/test_cached_snail.py).
 
 Supports PreActFixupCausalResBlock blocks with or without conditioning —
 the published PixelSNAIL jobs are unconditional (train_pixelsnail_*.job:

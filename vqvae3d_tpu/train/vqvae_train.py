@@ -273,6 +273,31 @@ def vqvae_loss_fn(
     for i, cl in enumerate(c_losses):
         log[f"commitment_loss_{i}"] = cl
 
+    if train:
+        # Codebook health per level from the EMA cluster sizes (O(K),
+        # free next to the step): perplexity = exp(H(p)) of the EMA code
+        # distribution, utilization = fraction of codes carrying >1% of
+        # the uniform share. The convergence artifact (VERDICT r3 #5)
+        # needs these to show the codebooks don't collapse.
+        from jax.tree_util import tree_flatten_with_path
+
+        leaves, _ = tree_flatten_with_path(new_quantizer)
+        li = 0
+        for path, leaf in leaves:
+            if not any(
+                getattr(k, "key", None) == "cluster_size" for k in path
+            ):
+                continue
+            p = leaf / jnp.maximum(jnp.sum(leaf), 1e-9)
+            ent = -jnp.sum(
+                jnp.where(p > 0, p * jnp.log(jnp.maximum(p, 1e-20)), 0.0)
+            )
+            log[f"codebook_perplexity_{li}"] = jnp.exp(ent)
+            log[f"codebook_util_{li}"] = jnp.mean(
+                (p > 0.01 / leaf.shape[0]).astype(jnp.float32)
+            )
+            li += 1
+
     return loss, (new_quantizer, log, loc)
 
 
