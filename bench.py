@@ -60,15 +60,43 @@ def _peak_flops() -> float | None:
     return best
 
 
-def _compiled_flops(compiled) -> float | None:
-    """Total FLOPs of a compiled executable via XLA cost analysis."""
+# HBM bandwidth per chip (public spec sheets), bytes/s
+_PEAK_HBM = {
+    "TPU v2": 700e9,
+    "TPU v3": 900e9,
+    "TPU v4": 1228e9,
+    "TPU v5": 2765e9,
+    "TPU v5p": 2765e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
+
+
+def _peak_hbm() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    best = None
+    best_len = -1
+    for name, bw in _PEAK_HBM.items():
+        n = name.lower()
+        if kind.startswith(n) and len(n) > best_len:
+            best, best_len = bw, len(n)
+    return best
+
+
+def _cost_analysis(compiled) -> dict:
+    """{'flops': F, 'bytes': B} of a compiled executable (XLA cost model)."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
+        return {
+            "flops": float(ca.get("flops", 0.0)) or None,
+            "bytes": float(ca.get("bytes accessed", 0.0)) or None,
+        }
     except Exception:
-        return None
+        return {"flops": None, "bytes": None}
 
 
 def run_bench(stem: int, primary: bool):
@@ -152,7 +180,8 @@ def run_bench(stem: int, primary: bool):
     compiled = lowered.compile()
     float(to_scalar(fwd_chain(variables, x0, x0)))
     compile_s = time.perf_counter() - t0
-    total_flops = _compiled_flops(compiled)
+    costs = _cost_analysis(compiled)
+    total_flops = costs["flops"]
 
     def timed_chain(n):
         x = x0
@@ -196,6 +225,17 @@ def run_bench(stem: int, primary: bool):
         if peak:
             extra["mfu"] = round(achieved / peak, 4)
             extra["device_kind"] = jax.devices()[0].device_kind
+    if costs["bytes"]:
+        # whole-program bandwidth floor (VERDICT r3 #7): XLA cost-model
+        # HBM bytes / chip HBM bandwidth = the minimum ms this program can
+        # take even at zero FLOPs. Makes "low MFU is data-movement-bound"
+        # a number: bandwidth_bound_fraction ≈ 1 ⇒ at the roofline.
+        extra["hbm_gbytes_per_volume"] = round(costs["bytes"] / batch / 1e9, 2)
+        bw = _peak_hbm()
+        if bw:
+            floor = costs["bytes"] / bw / batch
+            extra["bandwidth_floor_ms_per_volume"] = round(floor * 1e3, 1)
+            extra["bandwidth_bound_fraction"] = round(floor / (dt / batch), 3)
     name = "512x512x128_encode_quantize_decode_volumes_per_sec_per_chip"
     if not primary:
         # the serving config a CONVERTED REFERENCE CHECKPOINT must run
