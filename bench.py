@@ -270,12 +270,15 @@ def run_loader_bench():
                 "unit": "volumes/sec",
                 "extra": {
                     "num_workers": 5,
+                    "host_cores": os.cpu_count(),
                     "volumes_timed": n,
                     "fold": 2,
                     "h2d": True,
                     "pipeline": "nrrd gzip decode + HU window + depth pad"
                     " + s2d fold + device_put",
-                    "note": "see tools/bench_loader.py for worker sweeps",
+                    "note": "see tools/bench_loader.py for worker sweeps"
+                    " and PERF.md 'Input pipeline' for the per-core cost"
+                    " + cores-needed accounting",
                 },
             }
         ),

@@ -241,3 +241,28 @@ def test_dataloader_fold_param(tmp_path):
     np.testing.assert_array_equal(
         folded["num_valid_slices"], plain["num_valid_slices"]
     )
+
+
+def test_get_folded_matches_reference_path(tmp_path):
+    """CTScanDataset.get_folded (fused int16-domain decode+pad+fold+
+    normalize) is bit-identical to __getitem__ → fold_volume_np, for both
+    padded (d < output_depth) and truncated (d > output_depth) scans."""
+    from vqvae3d_tpu.data import nrrd_io
+    from vqvae3d_tpu.data.ct_dataset import CTScanDataset, fold_volume_np
+
+    rng = np.random.default_rng(3)
+    for i, d in enumerate((6, 12)):  # pad and truncate vs output_depth=8
+        vol = rng.integers(-2000, 3500, size=(16, 16, d)).astype(np.int16)
+        nrrd_io.write(
+            str(tmp_path / f"s{i}.nrrd"),
+            vol,
+            header={"spacings": (0.976, 0.976, 3.0)},
+        )
+    ds = CTScanDataset(str(tmp_path), size=(16, 16, None), output_depth=8)
+    assert len(ds) == 2
+    for i in range(2):
+        ref_vol, ref_nv = ds[i]
+        ref = fold_volume_np(ref_vol[None], 2)[0]
+        got, nv = ds.get_folded(i, 2)
+        assert nv == ref_nv
+        np.testing.assert_array_equal(got, ref)

@@ -84,6 +84,41 @@ class CTScanDataset:
             vol = _area_rescale_np(vol, self.rescale_input)
         return vol[..., None], num_valid
 
+    def get_folded(self, index: int, fold: int) -> Tuple[np.ndarray, int]:
+        """Fused decode → pad → s2d-fold → normalize fast path:
+        (H/f, W/f, D/f, f³) float32, num_valid_slices.
+
+        Bit-identical to ``fold_volume_np(self[index][0][None], f)[0]``
+        (the HU normalize is voxel-pointwise, so it commutes exactly with
+        the fold permutation; int16→f32 is exact), but the pad and the
+        fold transpose run in the int16 domain BEFORE the float32
+        expansion — ~2.5× less memory moved per volume, which is the
+        loader's per-core ceiling (tools/bench_loader.py). Only for
+        un-rescaled volumes (the rescale path averages across the fold
+        boundary)."""
+        assert self.rescale_input is None
+        data, _ = nrrd_io.read(self.scans[index])
+        h, w, d = data.shape
+        od = self.output_depth
+        num_valid = min(d, od)
+        padded = np.zeros((h, w, od), dtype=data.dtype)
+        padded[:, :, :num_valid] = data[:, :, :num_valid]
+        f = fold
+        v = padded.reshape(h // f, f, w // f, f, od // f, f)
+        v = np.ascontiguousarray(v.transpose(0, 2, 4, 1, 3, 5)).reshape(
+            h // f, w // f, od // f, f**3
+        )
+        vol = hu_window_normalize(v)
+        if num_valid < od:
+            # the reference pads AFTER normalize (pad value 0.0 in
+            # normalized space, not normalize(0 HU) = 1.0): zero the
+            # padded depth slices — folded channel ch holds full-res
+            # depth phase pd = ch % f (channel order (ph, pw, pd, c))
+            dc = np.arange(od // f)[:, None]
+            pd = np.arange(f**3)[None, :] % f
+            vol[:, :, (dc * f + pd) >= num_valid] = 0.0
+        return vol, num_valid
+
 
 def _header_spacing(header) -> Optional[np.ndarray]:
     if "space directions" in header:
@@ -207,16 +242,18 @@ class CTDataModule:
             return
 
         def load_sample(i):
+            # pre-fold to the stem's space-to-depth layout PER SAMPLE on
+            # the decode threads: the in-jit fold of a (512,512,128,1)
+            # volume is a strided relayout XLA executes at ~1/50th of HBM
+            # bandwidth (~19 ms/step of core time at 512-res — PERF.md),
+            # and per-sample folding scales with num_workers instead of
+            # serializing per batch. Un-rescaled volumes take the fused
+            # int16-domain decode→pad→fold→normalize path (~2.5× less
+            # memory moved — the per-core ceiling, tools/bench_loader.py).
+            if fold > 1 and self.dataset.rescale_input is None:
+                return self.dataset.get_folded(int(i), fold)
             vol, nv = self.dataset[int(i)]
             if fold > 1:
-                # pre-fold to the stem's space-to-depth layout PER SAMPLE
-                # on the decode threads: the in-jit fold of a
-                # (512,512,128,1) volume is a strided relayout XLA
-                # executes at ~1/50th of HBM bandwidth (~19 ms/step of
-                # core time at 512-res — PERF.md), and the host fold is
-                # ~150 ms/volume single-threaded (BENCH_r03) — per-sample
-                # folding makes it scale with num_workers instead of
-                # serializing per batch.
                 vol = fold_volume_np(vol[None], fold)[0]
             return vol, nv
 

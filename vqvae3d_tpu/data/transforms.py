@@ -27,10 +27,16 @@ HU_MIN, HU_MAX, HU_SCALE = -1500.0, 3000.0, 1000.0
 
 
 def hu_window_normalize(volume: np.ndarray) -> np.ndarray:
-    """HU → normalized [−0.5, 4] float32."""
-    v = np.asarray(volume, dtype=np.float32)
-    v = np.clip(v, HU_MIN, HU_MAX)
-    return v / HU_SCALE + 1.0
+    """HU → normalized [−0.5, 4] float32.
+
+    Single-allocation, in-place passes: the naive clip/div/add chain made
+    three full copies of a 134 MB volume — measurable at ~29M voxels on
+    a loader worker core (tools/bench_loader.py)."""
+    v = np.asarray(volume).astype(np.float32, copy=True)
+    np.clip(v, HU_MIN, HU_MAX, out=v)
+    v /= HU_SCALE
+    v += 1.0
+    return v
 
 
 def hu_unnormalize(volume: np.ndarray) -> np.ndarray:
