@@ -276,7 +276,12 @@ class CTDataModule:
 
                 def assemble(futs=futs):
                     samples = [f.result() for f in futs]
-                    vols = np.stack([s[0] for s in samples])
+                    if len(samples) == 1:
+                        # view, not copy — np.stack would move another
+                        # 134 MB per batch on the loader's critical path
+                        vols = samples[0][0][None]
+                    else:
+                        vols = np.stack([s[0] for s in samples])
                     nvs = np.array([s[1] for s in samples], np.int32)
                     return {"volume": vols, "num_valid_slices": nvs}
 
