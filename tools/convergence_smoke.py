@@ -78,9 +78,11 @@ def main():
     print(f"dataset: {dm.train_len} scans", flush=True)
     fold = cfg.stem_space_to_depth
 
-    sample = next(iter(dm.train_dataloader(fold=fold)))
+    # init on the UNFOLDED logical shape (the model's init path applies
+    # its internal s2d stem; train batches arrive pre-folded)
     state = create_vqvae_train_state(
-        model, jax.random.PRNGKey(42), jnp.zeros_like(sample["volume"])
+        model, jax.random.PRNGKey(42),
+        jnp.zeros((1, 256, 256, 128, 1), jnp.bfloat16),
     )
     if latest_step(args.out) is not None:
         state = restore_checkpoint(args.out, state)
