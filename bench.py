@@ -99,9 +99,14 @@ def _cost_analysis(compiled) -> dict:
         return {"flops": None, "bytes": None}
 
 
-def run_bench(stem: int, primary: bool):
+def run_bench(stem: int, primary: bool, vol=VOL):
     from vqvae3d_tpu.models.vqvae import VQVAE, VQVAEConfig
 
+    # literal stem: disable the small-C block-space conv rewrite — at
+    # full-res C=4 XLA materializes its s2d reshape input at a 32×-padded
+    # layout (8 GB/copy → HBM OOM); rewrite-off is the measured-good
+    # literal serving configuration (403 ms/vol, PERF.md)
+    os.environ["VQVAE3D_BLOCK_REWRITE"] = "1" if stem > 1 else "0"
     full_blocks = os.environ.get("BENCH_FULL_BLOCKS", "1") == "1"
     cfg = VQVAEConfig(
         n_bottleneck_blocks=3,
@@ -156,8 +161,12 @@ def run_bench(stem: int, primary: bool):
     def to_scalar(x):
         return jnp.sum(x.astype(jnp.float32))
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
-    x_np = np.random.default_rng(0).uniform(-0.5, 4.0, (batch, *VOL, 1))
+    # literal stem serves at batch 1 (the reference's own extract/decode
+    # batch; at batch 4 XLA's padded-layout copies for the C=4 stem OOM
+    # the 16 GB HBM — a bf16[4,512,512,128,4] copy materializes 32 GB)
+    default_batch = "4" if stem > 1 else "1"
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
+    x_np = np.random.default_rng(0).uniform(-0.5, 4.0, (batch, *vol, 1))
     x_np = x_np.astype(np.float32)  # the CT feed path's dtype
     host_fold_ms = 0.0
     if folded:
@@ -236,7 +245,10 @@ def run_bench(stem: int, primary: bool):
             floor = costs["bytes"] / bw / batch
             extra["bandwidth_floor_ms_per_volume"] = round(floor * 1e3, 1)
             extra["bandwidth_bound_fraction"] = round(floor / (dt / batch), 3)
-    name = "512x512x128_encode_quantize_decode_volumes_per_sec_per_chip"
+    name = (
+        f"{vol[0]}x{vol[1]}x{vol[2]}"
+        "_encode_quantize_decode_volumes_per_sec_per_chip"
+    )
     if not primary:
         # the serving config a CONVERTED REFERENCE CHECKPOINT must run
         # (literal stem; VERDICT r3 weak #5 — both lines in one default run)
@@ -306,7 +318,16 @@ def main():
     if stem_env:
         run_bench(int(stem_env), primary=int(stem_env) != 1)
     else:
-        run_bench(1, primary=False)
+        try:
+            # literal stem at the reference's own extraction resolution
+            # (256x256x128 hard-coded, extract_embeddings.py:54): the
+            # 512-res literal-stem EVAL cannot compile on a 16 GB chip —
+            # XLA materializes an 8.2 GB 32x-lane-padded copy of the C=4
+            # wrap-padded down-conv input (the same padded-layout
+            # pathology the s2d stem exists to avoid, PERF.md)
+            run_bench(1, primary=False, vol=(256, 256, 128))
+        except Exception as e:  # the headline line must still print
+            print(f"literal-stem bench failed: {e}", file=sys.stderr)
         run_bench(2, primary=True)
 
 

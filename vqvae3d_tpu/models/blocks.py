@@ -174,6 +174,7 @@ class ResizeConv3D(nn.Module):
         out_voxels = 8 * int(np.prod(x.shape[1:4]))
         use_block = (
             x.ndim == 5
+            and s2d_conv.block_rewrite_enabled()
             and self.kernel_size in (1, 3)
             and self.pad == (1 if self.kernel_size == 3 else 0)
             and max(cin, self.features) <= 32

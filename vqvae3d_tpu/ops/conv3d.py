@@ -123,6 +123,10 @@ def conv3d(
     # exact weight-space embedding. Covers the priors' causal convs
     # (reference pixel_model/layers.py:193-215) and the VQ-VAE's stray
     # 'same'/'out' convs outside the stack runners.
+    if block_rewrite:
+        from vqvae3d_tpu.ops.s2d_conv import block_rewrite_enabled
+
+        block_rewrite = block_rewrite_enabled()
     if (
         block_rewrite
         and groups == 1
@@ -178,7 +182,8 @@ def conv3d(
     # 16-4× to the 128-lane tile) and a stride-1 dW (one-dot instead of the
     # 27-slice strided fallback). Pure weight rearrangement; output identical.
     if (
-        groups == 1
+        block_rewrite
+        and groups == 1
         and padding == "VALID"
         and w.shape[:3] == (4, 4, 4)
         and _triple(stride) == (2, 2, 2)
@@ -192,7 +197,8 @@ def conv3d(
     # is EXACTLY a 1×1×1 channel contraction on the space-to-depth tensor:
     # s2d channel (r0,r1,r2,c) pairs with w[r0,r1,r2,c,:] — a plain reshape.
     if (
-        groups == 1
+        block_rewrite
+        and groups == 1
         and padding == "VALID"
         and w.shape[:3] == (2, 2, 2)
         and _triple(stride) == (2, 2, 2)

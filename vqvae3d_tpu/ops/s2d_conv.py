@@ -157,6 +157,18 @@ def stride1_block_kernel(
 _MIN_VOXELS = 32 * 64 * 64
 
 
+def block_rewrite_enabled() -> bool:
+    """Trace-time kill switch for every block-space (s2d) conv rewrite.
+
+    VQVAE3D_BLOCK_REWRITE=0 disables them all: at full-res C=4 (the
+    literal reference stem) XLA can materialize the rewrite's fold input
+    at a 32x-padded layout (8 GB per copy at 512-res -> HBM OOM); the
+    literal serving bench runs with rewrites off (bench.py)."""
+    import os
+
+    return os.environ.get("VQVAE3D_BLOCK_REWRITE", "1") != "0"
+
+
 def block_stack_ok(channels: int, spatial: Tuple[int, int, int], n_blocks: int) -> bool:
     """Should a stack of 'same' PreActFixup blocks run in 2× block space?
 
@@ -165,6 +177,8 @@ def block_stack_ok(channels: int, spatial: Tuple[int, int, int], n_blocks: int) 
     would otherwise pad to. Above C=32 the stock NDHWC layout is already
     ≥ 1/4 dense and block space's 8× w2 FLOPs start to matter.
     """
+    if not block_rewrite_enabled():
+        return False
     d, h, w = spatial
     if not (channels <= 32):
         return False
