@@ -29,7 +29,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-from bench import _compiled_flops, _peak_flops  # noqa: E402
+from bench import _cost_analysis, _peak_flops  # noqa: E402
 
 
 def _bench(name, model, grid, cond_grid, batch, steps=3):
@@ -59,7 +59,7 @@ def _bench(name, model, grid, cond_grid, batch, steps=3):
     s1, log = compiled(state, batch_d, step_rng)
     float(log["loss_mean"])
     compile_s = time.perf_counter() - t0
-    flops = _compiled_flops(compiled)
+    flops = _cost_analysis(compiled)["flops"]
 
     def timed_chain(n):
         s = state

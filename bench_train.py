@@ -25,7 +25,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-from bench import _compiled_flops, _peak_flops  # noqa: E402
+from bench import _cost_analysis, _peak_flops  # noqa: E402
 
 
 def bench_train(res: int, steps: int = 3):
@@ -97,7 +97,7 @@ def bench_train(res: int, steps: int = 3):
     state1, log = compiled(state, batch)
     float(log["loss"])
     compile_s = time.perf_counter() - t0
-    flops = _compiled_flops(compiled)
+    flops = _cost_analysis(compiled)["flops"]
 
     def timed_chain(n):
         s = state

@@ -91,14 +91,21 @@ def prior_loss_fn(
     dims = data_idx.shape[1:4]
 
     target = data_idx
-    model_input = idx_to_one_hot(data_idx, cfg.input_dim)
+    # one-hot straight in the model's compute dtype (the model casts
+    # before its first matmul anyway — 0/1 are exact in bf16), halving
+    # the full-res one-hot's HBM traffic; mixup keeps fp32 so the
+    # lam-mixing happens at full precision (reference train_helpers.py
+    # mixes fp32 one-hots).
+    mixup_active = cfg.mixup_alpha != 0 and train
+    oh_dtype = jnp.float32 if mixup_active else cfg.dtype
+    model_input = idx_to_one_hot(data_idx, cfg.input_dim, dtype=oh_dtype)
     condition = None
     if cfg.use_conditioning:
         condition = _prep_condition(batch["condition"], cfg.condition_dim, dims)
 
     loss_per_voxel_fn = cross_entropy
     targets = target
-    if cfg.mixup_alpha != 0 and train:
+    if mixup_active:
         rng, mix_rng = jax.random.split(rng)
         model_input, condition, targets, lam = mixup_data(
             mix_rng, model_input, target, cfg.mixup_alpha, condition
