@@ -102,11 +102,17 @@ def _cost_analysis(compiled) -> dict:
 def run_bench(stem: int, primary: bool, vol=VOL):
     from vqvae3d_tpu.models.vqvae import VQVAE, VQVAEConfig
 
-    # literal stem: disable the small-C block-space conv rewrite — at
-    # full-res C=4 XLA materializes its s2d reshape input at a 32×-padded
-    # layout (8 GB/copy → HBM OOM); rewrite-off is the measured-good
-    # literal serving configuration (403 ms/vol, PERF.md)
-    os.environ["VQVAE3D_BLOCK_REWRITE"] = "1" if stem > 1 else "0"
+    # literal stem: disable the small-C block-space conv rewrite by default
+    # — at full-res C=4 XLA materializes its s2d reshape input at a
+    # 32×-padded layout (8 GB/copy → HBM OOM). The r5 folded front-end
+    # removes every full-res C≤4 tensor regardless, so the rewrites are
+    # safe again with folded IO; BENCH_LITERAL_REWRITE=1 measures that.
+    if stem > 1:
+        os.environ["VQVAE3D_BLOCK_REWRITE"] = "1"
+    else:
+        os.environ["VQVAE3D_BLOCK_REWRITE"] = os.environ.get(
+            "BENCH_LITERAL_REWRITE", "0"
+        )
     full_blocks = os.environ.get("BENCH_FULL_BLOCKS", "1") == "1"
     cfg = VQVAEConfig(
         n_bottleneck_blocks=3,
@@ -146,9 +152,14 @@ def run_bench(stem: int, primary: bool, vol=VOL):
     # copies the boundary fold/unfold costs on-device at C=1 minor
     # (profiled: tools/profile_bench.py). BENCH_FOLDED_IO=0 measures with
     # the fold/unfold on-device.
-    folded = (
-        os.environ.get("BENCH_FOLDED_IO", "1") == "1" and stem > 1
-    )
+    # stem=1 (literal): folded IO means s2d(x,2) in / s2d(decoded,2) out —
+    # the level-0 front/back-end runs in the folded domain via exact weight
+    # embeddings (models/vqvae.py lit_fold), so no full-res C≤4 tensor
+    # exists on device. This is what restored 512-res literal serving
+    # (VERDICT r4 #1); BENCH_FOLDED_IO=0 measures the historical
+    # full-res-IO literal graph (OOMs at 512 on 16 GB).
+    folded = os.environ.get("BENCH_FOLDED_IO", "1") == "1"
+    fold_f = stem if stem > 1 else 2
 
     @jax.jit
     def fwd_chain(variables, x, x0):
@@ -179,7 +190,7 @@ def run_bench(stem: int, primary: bool, vol=VOL):
         from vqvae3d_tpu.data.ct_dataset import fold_volume_np
 
         tf0 = time.perf_counter()
-        x_np = fold_volume_np(x_np, stem)
+        x_np = fold_volume_np(x_np, fold_f)
         host_fold_ms = (time.perf_counter() - tf0) * 1e3 / batch
     x0 = jnp.asarray(x_np, jnp.bfloat16)
 
@@ -319,15 +330,21 @@ def main():
         run_bench(int(stem_env), primary=int(stem_env) != 1)
     else:
         try:
-            # literal stem at the reference's own extraction resolution
-            # (256x256x128 hard-coded, extract_embeddings.py:54): the
-            # 512-res literal-stem EVAL cannot compile on a 16 GB chip —
-            # XLA materializes an 8.2 GB 32x-lane-padded copy of the C=4
-            # wrap-padded down-conv input (the same padded-layout
-            # pathology the s2d stem exists to avoid, PERF.md)
-            run_bench(1, primary=False, vol=(256, 256, 128))
+            # literal stem at FULL resolution (the reference's own eval/
+            # decode resolution, calc_ssim_from_checkpoint.py:31-38):
+            # served through the r5 folded front/back-end (folded host IO
+            # + exact weight-space s2d embeddings of the level-0 convs),
+            # which removes the 8.2 GB padded-layout copy of the C=4
+            # down-conv input that made the full-res-IO literal graph
+            # uncompilable on 16 GB (PERF.md)
+            run_bench(1, primary=False)
         except Exception as e:  # the headline line must still print
-            print(f"literal-stem bench failed: {e}", file=sys.stderr)
+            print(f"literal-stem 512 bench failed: {e}", file=sys.stderr)
+            try:
+                # fallback: the reference's extraction resolution
+                run_bench(1, primary=False, vol=(256, 256, 128))
+            except Exception as e2:
+                print(f"literal-stem 256 bench failed: {e2}", file=sys.stderr)
         run_bench(2, primary=True)
 
 

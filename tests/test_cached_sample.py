@@ -97,12 +97,15 @@ def test_incremental_depth_matches_full_recompute(monkeypatch):
     np.testing.assert_array_equal(outs["1"], outs["0"])
 
 
-def test_host_sliced_matches_fori():
-    """make_cached_sampler(host_slices=True) — one execution per slice —
-    must produce the SAME grids as the single-execution fori_loop driver
-    (same rng): the host loop is the identical slice_body chained by its
-    carry."""
+@pytest.mark.parametrize("chunk", ["1", "2"])
+def test_host_sliced_matches_fori(monkeypatch, chunk):
+    """make_cached_sampler(host_slices=True) — one execution per slice
+    CHUNK of slices (r5: VQVAE3D_SLICES_PER_EXEC) — must produce the SAME
+    grids as the single-execution fori_loop driver (same rng): the host
+    loop is the identical slice_body chained by its carry."""
     from vqvae3d_tpu.sample.cached_sample import make_cached_sampler
+
+    monkeypatch.setenv("VQVAE3D_SLICES_PER_EXEC", chunk)
 
     cfg = PixelCNNConfig(
         input_dim=5, condition_dim=4, model_dim=8, kernel_size=3,

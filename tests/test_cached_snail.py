@@ -110,13 +110,17 @@ def test_incremental_matches_full_recompute(monkeypatch):
     np.testing.assert_array_equal(outs["1"][1], outs["0"][1])
 
 
-def test_host_sliced_matches_fori():
-    """Host-sliced snail sampler (one execution per slice) equals the
-    fori_loop driver for the same rng."""
+@pytest.mark.parametrize("chunk", ["1", "3"])
+def test_host_sliced_matches_fori(monkeypatch, chunk):
+    """Host-sliced snail sampler (one execution per slice chunk, r5
+    VQVAE3D_SNAIL_SLICES_PER_EXEC) equals the fori_loop driver for the
+    same rng."""
     from vqvae3d_tpu.sample.cached_snail import (
         cached_snail_sample,
         make_cached_snail_sampler,
     )
+
+    monkeypatch.setenv("VQVAE3D_SNAIL_SLICES_PER_EXEC", chunk)
 
     cfg = PixelSNAILConfig(
         input_dim=6, condition_dim=0, model_dim=8, kernel_size=3,

@@ -266,3 +266,60 @@ def test_get_folded_matches_reference_path(tmp_path):
         got, nv = ds.get_folded(i, 2)
         assert nv == ref_nv
         np.testing.assert_array_equal(got, ref)
+
+
+def test_unfold_volume_np_inverts_fold():
+    from vqvae3d_tpu.data.ct_dataset import fold_volume_np, unfold_volume_np
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(2, 8, 4, 6, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        unfold_volume_np(fold_volume_np(v, 2), 2), v
+    )
+    assert unfold_volume_np(v, 1) is v
+
+
+def test_volume_cache_bit_identical(tmp_path):
+    """Decode-once fold-on-write cache (r5): the cached second read must be
+    BIT-identical to the uncached path, for both the plain and the fused
+    folded reader; cache keys self-invalidate on file change."""
+    from vqvae3d_tpu.data import nrrd_io
+    from vqvae3d_tpu.data.ct_dataset import CTScanDataset
+
+    d = tmp_path / "ct"
+    d.mkdir()
+    rng = np.random.default_rng(11)
+    vol = rng.integers(-1200, 2800, size=(16, 16, 10)).astype(np.int16)
+    nrrd_io.write(d / "s.nrrd", vol, header={"spacings": (0.976, 0.976, 3)})
+    cache = tmp_path / "cache"
+
+    plain = CTScanDataset(
+        str(d), size=(None, None, None), spacing=None, output_depth=12
+    )
+    ds = CTScanDataset(
+        str(d), size=(None, None, None), spacing=None, output_depth=12,
+        cache_dir=str(cache),
+    )
+    for reader in (
+        lambda s, i: s[i],
+        lambda s, i: s.get_folded(i, 2),
+    ):
+        want_v, want_n = reader(plain, 0)
+        got1 = reader(ds, 0)  # miss: compute + write
+        got2 = reader(ds, 0)  # hit: read back
+        for got in (got1, got2):
+            np.testing.assert_array_equal(got[0], want_v)
+            assert got[1] == want_n
+    assert len(list(cache.glob("*.npz"))) == 2  # one per fold key
+
+    # stale invalidation: rewriting the scan changes size/mtime → new key
+    vol2 = rng.integers(-1200, 2800, size=(16, 16, 11)).astype(np.int16)
+    nrrd_io.write(d / "s.nrrd", vol2, header={"spacings": (0.976, 0.976, 3)})
+    ds2 = CTScanDataset(
+        str(d), size=(None, None, None), spacing=None, output_depth=12,
+        cache_dir=str(cache),
+    )
+    plain2 = CTScanDataset(
+        str(d), size=(None, None, None), spacing=None, output_depth=12
+    )
+    np.testing.assert_array_equal(ds2[0][0], plain2[0][0])

@@ -86,3 +86,88 @@ def test_mixup_folded_runs(monkeypatch):
         model, params, batch, train=True, rng=jax.random.PRNGKey(2)
     )
     assert bool(jnp.isfinite(loss))
+
+
+class TestCrossEntropyOracle:
+    """Custom-VJP cross_entropy (models/prior_utils.py) vs the
+    log_softmax + take_along_axis oracle: value and gradient, fp32 and
+    bf16 logits, plain and mixup paths, plus weighted upstream
+    cotangents (VERDICT r4 #3)."""
+
+    @staticmethod
+    def _oracle(logits, targets):
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.take_along_axis(
+            lp, targets[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_value_and_grad_match_oracle(self, dtype):
+        from vqvae3d_tpu.models.prior_utils import cross_entropy
+
+        rng = np.random.default_rng(3)
+        logits = jnp.asarray(
+            rng.normal(scale=4.0, size=(2, 3, 4, 5, 17)), dtype
+        )
+        targets = jnp.asarray(rng.integers(0, 17, size=(2, 3, 4, 5)), jnp.int32)
+        # non-uniform upstream cotangent (the train path weights by
+        # depth-valid masks) so the VJP is exercised beyond mean().
+        w = jnp.asarray(rng.uniform(0.1, 2.0, size=targets.shape), jnp.float32)
+
+        got = cross_entropy(logits, targets)
+        want = self._oracle(logits, targets)
+        tol = 1e-5 if dtype == jnp.float32 else 3e-2
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=tol, atol=tol,
+        )
+
+        def f_fused(l):
+            return jnp.sum(cross_entropy(l, targets) * w)
+
+        def f_oracle(l):
+            return jnp.sum(self._oracle(l, targets) * w)
+
+        g_fused = jax.grad(f_fused)(logits)
+        g_oracle = jax.grad(f_oracle)(logits)
+        gtol = 1e-5 if dtype == jnp.float32 else 5e-2
+        np.testing.assert_allclose(
+            np.asarray(g_fused, np.float32),
+            np.asarray(g_oracle, np.float32),
+            rtol=gtol, atol=gtol,
+        )
+
+    def test_narrow_int_targets(self):
+        """int8 targets with input_dim > 127 must not wrap (ADVICE r4)."""
+        from vqvae3d_tpu.models.prior_utils import cross_entropy
+
+        rng = np.random.default_rng(4)
+        logits = jnp.asarray(rng.normal(size=(3, 200)), jnp.float32)
+        t32 = jnp.asarray(rng.integers(0, 127, size=(3,)), jnp.int32)
+        t8 = t32.astype(jnp.int8)
+        np.testing.assert_allclose(
+            cross_entropy(logits, t8), cross_entropy(logits, t32), rtol=1e-6
+        )
+
+    def test_mixup_criterion_matches_oracle(self):
+        from vqvae3d_tpu.models.prior_utils import mixup_cross_entropy
+
+        rng = np.random.default_rng(5)
+        logits = jnp.asarray(rng.normal(size=(4, 6, 9)), jnp.float32)
+        y_a = jnp.asarray(rng.integers(0, 9, size=(4, 6)), jnp.int32)
+        y_b = jnp.asarray(rng.integers(0, 9, size=(4, 6)), jnp.int32)
+        lam = jnp.float32(0.3)
+
+        def f(l):
+            return jnp.mean(mixup_cross_entropy(l, (y_a, y_b), lam))
+
+        def f_oracle(l):
+            return jnp.mean(
+                lam * self._oracle(l, y_a) + (1 - lam) * self._oracle(l, y_b)
+            )
+
+        np.testing.assert_allclose(f(logits), f_oracle(logits), rtol=1e-6)
+        np.testing.assert_allclose(
+            jax.grad(f)(logits), jax.grad(f_oracle)(logits),
+            rtol=1e-5, atol=1e-6,
+        )

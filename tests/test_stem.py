@@ -160,3 +160,71 @@ def test_folded_loss_matches_unfolded(metric):
         np.testing.assert_allclose(b, a, rtol=5e-4, atol=1e-6)
     for (a, b) in zip(jax.tree.leaves(q0), jax.tree.leaves(q1)):
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
+
+
+def test_literal_fold_serving_equivalence():
+    """LITERAL stem (stem_space_to_depth=1) folded serving:
+    apply(s2d(x,2), folded_io=True) == s2d(apply(x), 2) — the exact
+    weight-space fold of the level-0 front/back-end that restores full-res
+    (512³×128) serving of converted reference checkpoints on one chip
+    (VERDICT r4 #1). Same parameter tree; code indices identical."""
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=2,
+        num_embeddings=(8, 16),
+        base_network_channels=4,
+        stem_space_to_depth=1,
+        n_pre_quantization_blocks=1,
+        n_post_quantization_blocks=1,
+        n_post_upscale_blocks=2,
+        n_post_downscale_blocks=1,
+        dtype=jnp.float32,
+        remat=False,
+        pad_mode="wrap",
+    )
+    model = VQVAE(cfg)
+    x = jax.random.normal(KEY, (2, 32, 32, 16, 1))
+    variables = model.init(KEY, x, train=False)
+
+    decoded, (losses, _, indices) = model.apply(variables, x, train=False)
+    decoded_f, (losses_f, _, indices_f) = model.apply(
+        variables, space_to_depth(x, 2), train=False, folded_io=True
+    )
+    assert decoded_f.shape == space_to_depth(x, 2).shape
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(decoded_f, 2)), np.asarray(decoded),
+        rtol=2e-5, atol=2e-5,
+    )
+    for a, b in zip(indices, indices_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(losses, losses_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_literal_fold_serving_equivalence_zeros_pad():
+    """Same contract under pad_mode='zeros' (the folded k4s2p1/k3 kernels
+    must reproduce both padding modes exactly)."""
+    cfg = VQVAEConfig(
+        n_bottleneck_blocks=1,
+        num_embeddings=(8,),
+        base_network_channels=4,
+        stem_space_to_depth=1,
+        n_post_upscale_blocks=1,
+        dtype=jnp.float32,
+        remat=False,
+        pad_mode="zeros",
+    )
+    model = VQVAE(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 16, 8, 1))
+    variables = model.init(KEY, x, train=False)
+    decoded, (_, _, indices) = model.apply(variables, x, train=False)
+    decoded_f, (_, _, indices_f) = model.apply(
+        variables, space_to_depth(x, 2), train=False, folded_io=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(decoded_f, 2)), np.asarray(decoded),
+        rtol=2e-5, atol=2e-5,
+    )
+    for a, b in zip(indices, indices_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

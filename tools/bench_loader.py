@@ -62,12 +62,19 @@ def make_synthetic_dir(
     return str(d), nbytes
 
 
-def bench(data_dir: str, workers: int, fold: int, h2d: bool, epochs: int = 2):
+def bench(
+    data_dir: str,
+    workers: int,
+    fold: int,
+    h2d: bool,
+    epochs: int = 2,
+    cache_dir: str | None = None,
+):
     from vqvae3d_tpu.data.ct_dataset import CTDataModule
 
     dm = CTDataModule(
         data_dir, batch_size=1, train_frac=1.0, num_workers=workers,
-        size=(None, None, None), spacing=None,
+        size=(None, None, None), spacing=None, cache_dir=cache_dir,
     )
     if h2d:
         import jax
@@ -89,6 +96,35 @@ def bench(data_dir: str, workers: int, fold: int, h2d: bool, epochs: int = 2):
     return n / dt, n, dt
 
 
+def bench_cached_epochs(
+    data_dir: str, workers: int, fold: int, h2d: bool, cache_dir: str
+):
+    """(cold_rate, warm_rate): epoch 1 decodes + writes the volume cache,
+    epoch 2 reads it back (the decode-once fold-on-write path — VERDICT
+    r4 #6). Epochs are timed separately, whole-epoch walls (no warmup
+    batch discard — the cache hit/miss asymmetry IS the measurement)."""
+    from vqvae3d_tpu.data.ct_dataset import CTDataModule
+
+    dm = CTDataModule(
+        data_dir, batch_size=1, train_frac=1.0, num_workers=workers,
+        size=(None, None, None), spacing=None, cache_dir=cache_dir,
+    )
+    if h2d:
+        import jax
+
+    rates = []
+    for ep in range(2):
+        n = 0
+        t0 = time.perf_counter()
+        for batch in dm.train_dataloader(epoch=ep, fold=fold):
+            if h2d:
+                arrs = jax.device_put(batch)
+                jax.block_until_ready(arrs)
+            n += batch["volume"].shape[0]
+        rates.append(n / (time.perf_counter() - t0))
+    return rates[0], rates[1]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workers", type=str, default="1,5,8")
@@ -99,6 +135,11 @@ def main():
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--no-h2d", action="store_true")
     p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument(
+        "--cache", action="store_true",
+        help="also measure the decode-once volume cache: cold (decode+"
+        "write) vs warm (read) epoch rates",
+    )
     args = p.parse_args()
 
     tmp = args.data_dir or os.path.join(
@@ -137,6 +178,39 @@ def main():
             ),
             flush=True,
         )
+    if args.cache:
+        import shutil
+        import tempfile as _tf
+
+        cdir = _tf.mkdtemp(prefix="volcache_")
+        try:
+            w = [int(x) for x in args.workers.split(",")][-1]
+            cold, warm = bench_cached_epochs(
+                tmp, w, args.fold, not args.no_h2d, cdir
+            )
+            csize = sum(p_.stat().st_size for p_ in Path(cdir).glob("*.npz"))
+            print(
+                json.dumps(
+                    {
+                        "metric": "loader_cached_epoch_volumes_per_sec",
+                        "value": round(warm, 3),
+                        "unit": "volumes/sec",
+                        "extra": {
+                            "cold_epoch_volumes_per_sec": round(cold, 3),
+                            "num_workers": w,
+                            "fold": args.fold,
+                            "h2d": not args.no_h2d,
+                            "cache_bytes_per_volume": csize // max(args.n_vols, 1),
+                            "pipeline": "epoch 1: decode+fold+normalize+WRITE"
+                            " cache; epoch 2: READ cache"
+                            + ("" if args.no_h2d else " + device_put"),
+                        },
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(cdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

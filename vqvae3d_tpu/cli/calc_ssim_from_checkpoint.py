@@ -45,21 +45,41 @@ def main(args):
         output_depth=args.output_depth,
     )
     shape = (args.batch_size, *(rescale or (*args.scan_size, args.output_depth)), 1)
-    model, state, _ = load_vqvae(args.ckpt_path, shape)
+    model, state, config = load_vqvae(args.ckpt_path, shape)
     variables = {"params": state.params, "quantizer": state.quantizer}
+
+    # literal-stem (converted reference) checkpoints serve through the
+    # folded domain so full-resolution (512×512×128) eval fits one chip —
+    # the reference evaluates whole volumes too (calc_ssim :31-38). The
+    # host prefolds; SSIM itself needs full-res slices, so the decoded
+    # volume unfolds in-jit (a boundary relayout, not a conv input).
+    from vqvae3d_tpu.cli.common import literal_fold_serving
+    from vqvae3d_tpu.data.ct_dataset import fold_volume_np
+    from vqvae3d_tpu.ops.resize import depth_to_space
+
+    folded = literal_fold_serving(config, shape[1:4])
 
     @jax.jit
     def recon_ssim(variables, x):
-        decoded, _ = model.apply(variables, x, train=False)
+        if folded:
+            decoded, _ = model.apply(variables, x, train=False, folded_io=True)
+            decoded = depth_to_space(decoded, 2)
+            x = depth_to_space(x, 2)
+        else:
+            decoded, _ = model.apply(variables, x, train=False)
         loc = jax.nn.elu(decoded.astype(jnp.float32))
         return ssim3d_slices(loc, x.astype(jnp.float32), data_range=SSIM_DATA_RANGE)
+
+    def prep(b):
+        v = np.asarray(b["volume"])
+        return jnp.asarray(fold_volume_np(v, 2) if folded else v)
 
     out = {}
     for split, loader in (
         ("train", dm.train_dataloader(epoch=0)),
         ("val", dm.val_dataloader()),
     ):
-        vals = [float(recon_ssim(variables, jnp.asarray(b["volume"]))) for b in loader]
+        vals = [float(recon_ssim(variables, prep(b))) for b in loader]
         if vals:
             out[split] = {
                 "ssim_mean": float(np.mean(vals)),

@@ -43,6 +43,32 @@ def enable_compilation_cache() -> None:
         pass  # cache is best-effort; never block a run on it
 
 
+def literal_fold_serving(config, spatial=None) -> bool:
+    """Should this checkpoint serve through the folded (s2d×2) domain?
+
+    True for literal-stem (stem_space_to_depth == 1) configs — i.e.
+    converted reference checkpoints — on even-dimension volumes: the model
+    then takes ``s2d(x, 2)`` and returns ``s2d(decoded, 2)``
+    (``folded_io=True``), running the level-0 front/back-end as exact
+    folded-domain weight embeddings. This is what makes 512×512×128
+    serving fit one 16 GB chip (models/vqvae.py lit_fold; PERF.md).
+    Opt out with VQVAE3D_LITERAL_FOLD=0.
+    """
+    import os
+
+    if os.environ.get("VQVAE3D_LITERAL_FOLD", "1") == "0":
+        return False
+    if int(getattr(config, "stem_space_to_depth", 1) or 1) != 1:
+        return False
+    if getattr(config, "block_type", "pre-activation") != "pre-activation":
+        return False
+    if not getattr(config, "scan_stacks", True):
+        return False
+    if spatial is not None and any(int(s) % 2 for s in spatial):
+        return False
+    return True
+
+
 class MetricLogger:
     def __init__(self, logdir: Optional[str] = None, name: str = "metrics"):
         self.path = None

@@ -32,12 +32,20 @@ def parse_arguments(argv=None):
     return parser.parse_args(argv)
 
 
-def decode_samples(model, variables, sample_db, n_levels=2):
-    """Yield (name, volume ndarray) per finest-level sample."""
+def decode_samples(model, variables, sample_db, n_levels=2, folded=False):
+    """Yield (name, volume ndarray) per finest-level sample.
+
+    ``folded``: literal-stem folded serving — the decoder emits
+    s2d(decoded, 2) (no full-res small-C tensor on device); ELU is
+    pointwise so it applies in the folded layout, and the host unfolds."""
+    from vqvae3d_tpu.data.ct_dataset import unfold_volume_np
 
     @jax.jit
     def decode(variables, embeddings):
-        out = model.apply(variables, embeddings, train=False, method=VQVAE.decode)
+        out = model.apply(
+            variables, embeddings, train=False, folded_io=folded,
+            method=VQVAE.decode,
+        )
         return jax.nn.elu(out.astype(jnp.float32))
 
     for key0, entry0 in sample_db[0].items():
@@ -51,8 +59,10 @@ def decode_samples(model, variables, sample_db, n_levels=2):
             embed_code(variables, lvl, jnp.asarray(g)[None])
             for lvl, g in enumerate(grids)
         ]
-        res = decode(variables, embeddings)
-        vol = np.asarray(res)[0, ..., 0]
+        res = np.asarray(decode(variables, embeddings))
+        if folded:
+            res = unfold_volume_np(res, 2)
+        vol = res[0, ..., 0]
         yield f"{success}_{key1}_{key0}", vol
 
 
@@ -65,9 +75,12 @@ def main(args):
     model, state, config = load_vqvae(args.ckpt_path, (1, *vol_shape, 1))
     variables = {"params": state.params, "quantizer": state.quantizer}
 
+    from vqvae3d_tpu.cli.common import literal_fold_serving
+
+    folded = literal_fold_serving(config, vol_shape)
     db = create_or_load_db(args.db_path, level=0)
     n = 0
-    for name, vol in decode_samples(model, variables, db):
+    for name, vol in decode_samples(model, variables, db, folded=folded):
         hu = hu_unnormalize(vol)
         out_file = str(args.out_path) + f"_{name}.nrrd"
         nrrd_io.write(out_file, hu.astype(np.int32), header={"spacings": (0.976, 0.976, 3)})

@@ -68,9 +68,18 @@ def main(args):
     sample_shape = (1, *(rescale or (*args.scan_size, args.output_depth)), 1)
     model, state, config = load_vqvae(args.checkpoint_path, sample_shape)
 
+    # literal-stem checkpoints: host-prefold + folded encoder front-end so
+    # full-res extraction fits one chip (cli/common.literal_fold_serving)
+    from vqvae3d_tpu.cli.common import literal_fold_serving
+    from vqvae3d_tpu.data.ct_dataset import fold_volume_np
+
+    folded = literal_fold_serving(config, sample_shape[1:4])
+
     @jax.jit
     def encode(variables, x):
-        results = model.apply(variables, x, train=False, method=VQVAE.encode)
+        results = model.apply(
+            variables, x, train=False, folded_io=folded, method=VQVAE.encode
+        )
         return [idx for (_, _, idx) in results]
 
     variables = {"params": state.params, "quantizer": state.quantizer}
@@ -83,7 +92,10 @@ def main(args):
     )
     n = 0
     for i, batch in enumerate(dm.train_dataloader(epoch=0)):
-        indices = encode(variables, jnp.asarray(batch["volume"]))
+        vol = np.asarray(batch["volume"])
+        if folded:
+            vol = fold_volume_np(vol, 2)
+        indices = encode(variables, jnp.asarray(vol))
         writer.write_sample(i, [np.asarray(ix[0], np.int32) for ix in indices])
         n += 1
     writer.close()

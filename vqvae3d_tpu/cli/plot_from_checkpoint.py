@@ -43,11 +43,23 @@ def main(args):
     vol, _ = dm.dataset[args.sample_index]
     x = jnp.asarray(vol)[None]
 
-    model, state, _ = load_vqvae(args.ckpt_path, x.shape)
+    model, state, config = load_vqvae(args.ckpt_path, x.shape)
     variables = {"params": state.params, "quantizer": state.quantizer}
 
-    decoded, _ = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
-    recon = np.asarray(jax.nn.elu(decoded.astype(jnp.float32)))[0, ..., 0]
+    # literal-stem checkpoints: folded serving (see cli/common)
+    from vqvae3d_tpu.cli.common import literal_fold_serving
+    from vqvae3d_tpu.data.ct_dataset import fold_volume_np, unfold_volume_np
+
+    folded = literal_fold_serving(config, x.shape[1:4])
+    if folded:
+        x = jnp.asarray(fold_volume_np(np.asarray(x), 2))
+    decoded, _ = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, folded_io=folded)
+    )(variables, x)
+    recon = np.asarray(jax.nn.elu(decoded.astype(jnp.float32)))
+    if folded:
+        recon = unfold_volume_np(recon, 2)
+    recon = recon[0, ..., 0]
 
     for name, arr in (("orig", vol[..., 0]), ("recon", recon)):
         out = str(args.out_path) + f"_{name}.nrrd"

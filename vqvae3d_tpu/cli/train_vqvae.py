@@ -62,6 +62,14 @@ def parse_arguments(argv=None):
                         help="depth volumes are zero-padded/truncated to "
                              "(reference DepthPadAndCrop(128), "
                              "load_nrrd_dataset.py:27-44)")
+    parser.add_argument("--volume-cache", type=str, default=None,
+                        help="decode-once volume cache dir: preprocessed "
+                             "(folded, normalized) volumes are written on "
+                             "first read, later epochs pay only a raw read "
+                             "— the TPU-native analog of the reference's "
+                             "node-local scratch staging "
+                             "(train_vqvae_3d.job:93-96). Also via "
+                             "VQVAE3D_VOLUME_CACHE")
     return parser.parse_args(argv)
 
 
@@ -86,6 +94,7 @@ def main(args):
         seed=args.seed,
         size=(*args.scan_size, None),
         output_depth=args.output_depth,
+        cache_dir=args.volume_cache,
     )
     print(f"dataset: {dm.train_len} train / {dm.val_len} val scans")
     assert dm.train_len >= args.batch_size, "not enough scans for one batch"

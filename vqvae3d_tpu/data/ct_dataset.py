@@ -41,6 +41,7 @@ class CTScanDataset:
         ext: str = ".nrrd",
         output_depth: int = 128,
         rescale_input: Optional[Tuple[int, int, int]] = None,
+        cache_dir: Optional[str] = None,
     ):
         scans = sorted(str(p) for p in Path(root).glob(f"**/*{ext}"))
         keep = []
@@ -71,18 +72,82 @@ class CTScanDataset:
         self.scans = keep
         self.output_depth = output_depth
         self.rescale_input = tuple(rescale_input) if rescale_input else None
+        # Decode-once volume cache (r5, VERDICT r4 #6): preprocessed
+        # volumes (decoded, padded, optionally folded, normalized fp32 —
+        # BIT-IDENTICAL to the uncached path) are written to ``cache_dir``
+        # on first read; later epochs pay only a raw read instead of
+        # gzip inflate + fold + normalize (~4.9 s/vol/core at 512-res,
+        # PERF.md). The TPU-native analog of the reference's node-local
+        # scratch staging (slurm-jobs/train_vqvae_3d.job:93-96). Enable
+        # with cache_dir= or VQVAE3D_VOLUME_CACHE=<dir>; uncompressed
+        # .npz keyed by (name, size, mtime, depth, fold) so stale entries
+        # self-invalidate. Off for rescaled datasets (rescale changes the
+        # output; keep the key space simple).
+        import os as _os
+
+        self.cache_dir = cache_dir or _os.environ.get("VQVAE3D_VOLUME_CACHE")
+        if self.cache_dir and self.rescale_input is None:
+            Path(self.cache_dir).mkdir(parents=True, exist_ok=True)
+        else:
+            self.cache_dir = None
+
+    def _cache_path(self, index: int, fold: int) -> Path:
+        import os as _os
+
+        scan = self.scans[index]
+        st = _os.stat(scan)
+        key = (
+            f"{Path(scan).stem}_{st.st_size}_{int(st.st_mtime)}"
+            f"_d{self.output_depth}_f{fold}"
+        )
+        return Path(self.cache_dir) / f"{key}.npz"
+
+    def _cache_read(self, index: int, fold: int):
+        if not self.cache_dir:
+            return None
+        p = self._cache_path(index, fold)
+        if not p.exists():
+            return None
+        try:
+            with np.load(p) as z:
+                return z["vol"], int(z["num_valid"])
+        except Exception:  # truncated/corrupt entry: recompute + rewrite
+            return None
+
+    def _cache_write(self, index: int, fold: int, vol, num_valid: int):
+        if not self.cache_dir:
+            return
+        import os as _os
+        import tempfile as _tempfile
+
+        p = self._cache_path(index, fold)
+        fd, tmp = _tempfile.mkstemp(dir=str(p.parent), suffix=".tmp")
+        try:
+            with _os.fdopen(fd, "wb") as f:
+                np.savez(f, vol=vol, num_valid=np.int32(num_valid))
+            _os.replace(tmp, p)  # atomic: concurrent workers never see partial
+        except Exception:
+            try:
+                _os.unlink(tmp)
+            except OSError:
+                pass
 
     def __len__(self) -> int:
         return len(self.scans)
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, int]:
         """→ (volume (H, W, D, 1) float32 normalized, num_valid_slices)."""
+        cached = self._cache_read(index, 1)
+        if cached is not None:
+            return cached
         data, _ = nrrd_io.read(self.scans[index])
         vol = hu_window_normalize(data)
         vol, num_valid = depth_pad_and_crop(vol, self.output_depth)
         if self.rescale_input is not None:
             vol = _area_rescale_np(vol, self.rescale_input)
-        return vol[..., None], num_valid
+        vol = vol[..., None]
+        self._cache_write(index, 1, vol, num_valid)
+        return vol, num_valid
 
     def get_folded(self, index: int, fold: int) -> Tuple[np.ndarray, int]:
         """Fused decode → pad → s2d-fold → normalize fast path:
@@ -97,6 +162,9 @@ class CTScanDataset:
         un-rescaled volumes (the rescale path averages across the fold
         boundary)."""
         assert self.rescale_input is None
+        cached = self._cache_read(index, fold)
+        if cached is not None:
+            return cached
         data, _ = nrrd_io.read(self.scans[index])
         h, w, d = data.shape
         od = self.output_depth
@@ -117,6 +185,7 @@ class CTScanDataset:
             dc = np.arange(od // f)[:, None]
             pd = np.arange(f**3)[None, :] % f
             vol[:, :, (dc * f + pd) >= num_valid] = 0.0
+        self._cache_write(index, fold, vol, num_valid)
         return vol, num_valid
 
 
@@ -179,6 +248,23 @@ def fold_volume_np(vols: np.ndarray, factor: int) -> np.ndarray:
     return np.ascontiguousarray(v).reshape(b, h // f, w // f, d // f, f**3 * c)
 
 
+def unfold_volume_np(vols: np.ndarray, factor: int) -> np.ndarray:
+    """Host-side depth_to_space: inverse of ``fold_volume_np``.
+
+    (B, H, W, D, C·f³) → (B, H·f, W·f, D·f, C). Used by the literal-stem
+    folded serving path (decode/plot CLIs) to unfold device outputs at IO
+    time instead of materializing full-res C=1 tensors on device."""
+    if factor == 1:
+        return vols
+    b, h, w, d, cf = vols.shape
+    f = factor
+    c = cf // f**3
+    assert c * f**3 == cf, (vols.shape, f)
+    v = vols.reshape(b, h, w, d, f, f, f, c)
+    v = v.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return np.ascontiguousarray(v).reshape(b, h * f, w * f, d * f, c)
+
+
 class CTDataModule:
     """Split + batched iteration with background decode and prefetch."""
 
@@ -193,6 +279,7 @@ class CTDataModule:
         output_depth: int = 128,
         size: Tuple[Optional[int], Optional[int], Optional[int]] = (512, 512, None),
         spacing: Optional[Tuple[float, float, float]] = (0.976, 0.976, 3),
+        cache_dir: Optional[str] = None,
     ):
         assert 0 <= train_frac <= 1
         self.path = path
@@ -206,6 +293,7 @@ class CTDataModule:
             spacing=spacing,
             output_depth=output_depth,
             rescale_input=rescale_input,
+            cache_dir=cache_dir,
         )
         n = len(self.dataset)
         train_len = int(n * train_frac)

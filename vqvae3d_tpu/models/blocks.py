@@ -167,12 +167,16 @@ class ResizeConv3D(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = None
     dtype: Optional[Dtype] = None
+    # fold_out: return the result in the 2× space-to-depth layout
+    # (``s2d(out, 2)``) instead of full resolution — the literal-stem
+    # folded serving path (the fine-res small-C tensor never exists).
+    fold_out: bool = False
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
         out_voxels = 8 * int(np.prod(x.shape[1:4]))
-        use_block = (
+        use_block = self.fold_out or (
             x.ndim == 5
             and s2d_conv.block_rewrite_enabled()
             and self.kernel_size in (1, 3)
@@ -181,6 +185,9 @@ class ResizeConv3D(nn.Module):
             and out_voxels >= s2d_conv._MIN_VOXELS
         )
         if use_block:
+            assert self.kernel_size in (1, 3) and self.pad == (
+                1 if self.kernel_size == 3 else 0
+            ), (self.kernel_size, self.pad)
             kernel_init = self.kernel_init or torch_conv_default_init()
             k = self.kernel_size
             w, b = _ConvKernelBias(
@@ -197,7 +204,7 @@ class ResizeConv3D(nn.Module):
             out = s2d_conv.resize_conv_s2d(x, w.astype(x.dtype), self.pad_mode)
             if b is not None:
                 out = out + jnp.tile(b.astype(out.dtype), 8)
-            return depth_to_space(out, 2)
+            return out if self.fold_out else depth_to_space(out, 2)
         x = trilinear_upsample2x(x)
         return Conv3D(
             features=self.features,
@@ -220,9 +227,12 @@ def _mode_conv(
     kernel_init,
     dtype,
     name: str,
+    fold: bool = False,
 ):
     """The mode-dependent 'spatial' conv: down=k4s2p1, same/out=k3s1p1,
-    up=ResizeConv3D(k3s1p1)."""
+    up=ResizeConv3D(k3s1p1). ``fold``: folded-domain variant — 'down'/'same'
+    take an s2d-folded input (Conv3D.fold), 'up' emits a folded output
+    (ResizeConv3D.fold_out)."""
     if mode == "down":
         return Conv3D(
             features=features,
@@ -233,6 +243,7 @@ def _mode_conv(
             use_bias=use_bias,
             kernel_init=kernel_init,
             dtype=dtype,
+            fold=fold,
             name=name,
         )
     if mode in ("same", "out"):
@@ -245,6 +256,7 @@ def _mode_conv(
             use_bias=use_bias,
             kernel_init=kernel_init,
             dtype=dtype,
+            fold=fold,
             name=name,
         )
     if mode == "up":
@@ -256,12 +268,16 @@ def _mode_conv(
             use_bias=use_bias,
             kernel_init=kernel_init,
             dtype=dtype,
+            fold_out=fold,
             name=name,
         )
     raise ValueError(f"unknown mode {mode!r}")
 
 
-def _mode_skip_conv(mode: str, features: int, use_bias: bool, kernel_init, dtype, name):
+def _mode_skip_conv(
+    mode: str, features: int, use_bias: bool, kernel_init, dtype, name,
+    fold: bool = False,
+):
     """Skip path: identity-shaped 1x1x1 (or k2s2 for 'down'; upsampling 1x1x1
     for 'up')."""
     if mode == "down":
@@ -273,6 +289,7 @@ def _mode_skip_conv(mode: str, features: int, use_bias: bool, kernel_init, dtype
             use_bias=use_bias,
             kernel_init=kernel_init,
             dtype=dtype,
+            fold=fold,
             name=name,
         )
     if mode == "up":
@@ -283,6 +300,7 @@ def _mode_skip_conv(mode: str, features: int, use_bias: bool, kernel_init, dtype
             use_bias=use_bias,
             kernel_init=kernel_init,
             dtype=dtype,
+            fold_out=fold,
             name=name,
         )
     return Conv3D(
@@ -293,6 +311,7 @@ def _mode_skip_conv(mode: str, features: int, use_bias: bool, kernel_init, dtype
         use_bias=use_bias,
         kernel_init=kernel_init,
         dtype=dtype,
+        fold=fold,
         name=name,
     )
 
@@ -316,11 +335,24 @@ class PreActFixupResBlock(nn.Module):
     # W of the packed (B, C, D, H*W) input when called on a channel-packed
     # activation (ops/packed_blocks.py) — 'same' mode, identity skip only.
     packed_width: Optional[int] = None
+    # Literal-stem folded serving (stem_space_to_depth=1, folded_io=True):
+    # fold_in — the input arrives s2d(·,2)-folded ('down'/'same' modes);
+    # fold_out — the output leaves folded ('up'/'same'). All convs run as
+    # exact folded-domain weight embeddings (ops/s2d_conv.py), parameter
+    # tree unchanged. 'down' consumes the fold (stride-2 cancels it);
+    # 'up' produces it (the ×2 upsample).
+    fold_in: bool = False
+    fold_out: bool = False
 
     @nn.compact
     def __call__(self, x):
         assert self.mode in ("down", "same", "up", "out")
+        assert not (self.fold_in and self.mode not in ("down", "same"))
+        assert not (self.fold_out and self.mode not in ("up", "same"))
+        if self.mode == "same" and (self.fold_in or self.fold_out):
+            assert self.fold_in and self.fold_out, "same-mode fold is in+out"
         if x.ndim == 4:
+            assert not (self.fold_in or self.fold_out)
             # Packed (B, C, D, H*W) path: same math, no 128-lane channel
             # padding anywhere (see ops/packed_blocks.py). Parameter tree is
             # identical to the NDHWC path below.
@@ -358,11 +390,16 @@ class PreActFixupResBlock(nn.Module):
                 width=self.packed_width,
                 pad_mode=self.pad_mode,
             )
-        in_channels = x.shape[-1]
+        in_channels = x.shape[-1] // 8 if self.fold_in else x.shape[-1]
         branch_channels = max(
             max(in_channels, self.out_channels) // self.bottleneck_divisor, 1
         )
         act = nn.elu
+        # foldedness after the mode conv: 'down' consumes the fold, 'up'
+        # introduces it, 'same' preserves it
+        mid_folded = (self.mode == "same" and self.fold_in) or (
+            self.mode == "up" and self.fold_out
+        )
 
         b1a, b1b, b2a, b2b, b3a, b3b, b4 = (
             _scalar(self, f"bias{n}")
@@ -384,6 +421,7 @@ class PreActFixupResBlock(nn.Module):
             use_bias=False,
             kernel_init=fixup_branch_init(self.num_layers),
             dtype=self.dtype,
+            fold=self.fold_in,
             name="branch_conv1",
         )(out + s(b1b))
 
@@ -395,6 +433,7 @@ class PreActFixupResBlock(nn.Module):
             use_bias=False,
             kernel_init=kaiming_normal_init(),
             dtype=self.dtype,
+            fold=self.fold_in if self.mode in ("down", "same") else self.fold_out,
             name="branch_conv2",
         )(out + s(b2b))
 
@@ -405,6 +444,7 @@ class PreActFixupResBlock(nn.Module):
             use_bias=False,
             kernel_init=nn.initializers.zeros_init(),
             dtype=self.dtype,
+            fold=mid_folded,
             name="branch_conv3",
         )(out + s(b3b))
 
@@ -422,6 +462,7 @@ class PreActFixupResBlock(nn.Module):
                 use_bias=False,
                 kernel_init=xavier_normal_init(),
                 dtype=self.dtype,
+                fold=self.fold_in if self.mode == "down" else self.fold_out,
                 name="skip_conv",
             )(x + s(b1c))
             out = out + skip + s(b1d)
@@ -654,6 +695,7 @@ def apply_same_stack(
     remat: bool = False,
     pad_mode: str = "wrap",
     dtype: Optional[Dtype] = None,
+    x_folded: bool = False,
 ):
     """Run ``n_blocks`` shape-preserving 'same' resblocks over x (NDHWC).
 
@@ -675,6 +717,34 @@ def apply_same_stack(
     returns the j-th block's (w1, w2, w3, scalars) via ``PreActParams``.
     """
     if n_blocks == 0:
+        return x
+    if x_folded:
+        # literal-stem folded serving: x is ALREADY s2d(·,2)-folded and must
+        # stay folded — run the stack as the block-space scan body directly
+        # (no fold/unfold, no packed/megakernel variants; weights are the
+        # stock parameters, embedded at trace time).
+        assert make_params is not None, (
+            "folded stacks need pre-activation scan params"
+        )
+        per_block = [make_params(j) for j in range(n_blocks)]
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *per_block
+        )
+        if dtype is not None:
+            x = x.astype(dtype)
+
+        def fold_body(h, p):
+            w1, w2, w3, scalars = p
+            return (
+                preact_fixup_same_block(
+                    h, w1, w2, w3, scalars, pad_mode=pad_mode
+                ),
+                None,
+            )
+
+        if remat and n_blocks >= 8:
+            fold_body = jax.checkpoint(fold_body)
+        x, _ = jax.lax.scan(fold_body, x, stacked)
         return x
     # Per-iteration checkpointing only pays off for DEEP stacks: it caps the
     # live set at ~1 block but its backward re-runs every block forward. For
@@ -852,11 +922,15 @@ class DownBlock(nn.Module):
     packed: bool = False  # channel-pack the 'same' stacks when profitable
     scan: bool = True  # lax.scan the 'same' stacks (pre-activation only)
     remat_scan: bool = False  # checkpoint each scan iteration
+    # literal-stem folded serving: the input arrives s2d(·,2)-folded and the
+    # FIRST stride-2 resblock consumes the fold (pre-activation blocks only)
+    fold_in: bool = False
 
     @nn.compact
     def __call__(self, x):
         block = RESBLOCKS[self.resblock]
         pre_act = self.resblock == "pre-activation"
+        assert not self.fold_in or pre_act, "fold_in needs pre-activation"
         kw = {"pad_mode": self.pad_mode} if pre_act else {}
         for i in range(self.n_down):
             ch = self.in_channels * 2 ** (i + 1)
@@ -866,7 +940,7 @@ class DownBlock(nn.Module):
                 num_layers=self.num_layers,
                 dtype=self.dtype,
                 name=f"down_{i}",
-                **kw,
+                **({**kw, "fold_in": True} if self.fold_in and i == 0 else kw),
             )(x)
             x = apply_same_stack(
                 x,
@@ -917,21 +991,29 @@ class UpBlock(nn.Module):
     packed: bool = False  # channel-pack the 'same' stacks when profitable
     scan: bool = True  # lax.scan the 'same' stacks (pre-activation only)
     remat_scan: bool = False  # checkpoint each scan iteration
+    # literal-stem folded serving: the LAST 'up' resblock emits its output
+    # s2d(·,2)-folded and the post-upscale stack after it runs folded
+    # (pre-activation + scan only)
+    fold_out: bool = False
 
     @nn.compact
     def __call__(self, x):
         block = RESBLOCKS[self.resblock]
         pre_act = self.resblock == "pre-activation"
+        assert not self.fold_out or (pre_act and self.scan), (
+            "fold_out needs pre-activation scan stacks"
+        )
         kw = {"pad_mode": self.pad_mode} if pre_act else {}
         for i in range(self.n_up - 1, -1, -1):
             ch = self.out_channels * 2**i
+            folded = self.fold_out and i == 0
             x = block(
                 out_channels=ch,
                 mode="up",
                 num_layers=self.num_layers,
                 dtype=self.dtype,
                 name=f"up_{i}",
-                **kw,
+                **({**kw, "fold_out": True} if folded else kw),
             )(x)
             x = apply_same_stack(
                 x,
@@ -959,6 +1041,7 @@ class UpBlock(nn.Module):
                 remat=self.remat_scan,
                 pad_mode=self.pad_mode,
                 dtype=self.dtype,
+                x_folded=folded,
             )
         return x
 

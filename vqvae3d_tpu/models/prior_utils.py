@@ -91,6 +91,15 @@ def cross_entropy(logits, targets):
     step. The backward emits ``g·(softmax − onehot)`` as one
     elementwise fusion using an iota-compare for the one-hot (no
     scatter — scatters serialize on TPU).
+
+    Oracle-tested against ``log_softmax`` + ``take_along_axis`` (value
+    and gradient, fp32 and bf16 logits, plain and mixup paths) in
+    ``tests/test_prior_folded_loss.py``.
+
+    Note: ``jax.custom_vjp`` makes this function reverse-mode-only —
+    forward-mode AD (``jax.jvp``) and higher-order differentiation
+    through it raise at trace time. Training is first-order
+    reverse-mode, so no current caller is affected.
     """
     return _ce_fwd(logits, targets)[0]
 
@@ -104,8 +113,11 @@ def _ce_stats(logits, targets):
     # scalar-addressed on TPU and profiled 8 ms/step at the top-prior
     # grid; the masked lane-reduce streams the same bytes at vector
     # speed and fuses with the logsumexp passes.
-    onehot = targets[..., None] == jnp.arange(
-        logits.shape[-1], dtype=targets.dtype
+    # iota in int32 with targets cast up: building the iota in
+    # targets.dtype would silently wrap for narrow int targets when
+    # input_dim exceeds their range (ADVICE r4).
+    onehot = targets[..., None].astype(jnp.int32) == jnp.arange(
+        logits.shape[-1], dtype=jnp.int32
     )
     tl = jnp.sum(jnp.where(onehot, lf, 0.0), axis=-1)
     return lse - tl, lse
@@ -120,7 +132,8 @@ def _ce_bwd(res, g):
     logits, targets, lse = res
     p = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
     onehot = (
-        targets[..., None] == jnp.arange(logits.shape[-1], dtype=targets.dtype)
+        targets[..., None].astype(jnp.int32)
+        == jnp.arange(logits.shape[-1], dtype=jnp.int32)
     ).astype(jnp.float32)
     dlogits = (g[..., None] * (p - onehot)).astype(logits.dtype)
     return dlogits, np.zeros(targets.shape, dtype=jax.dtypes.float0)

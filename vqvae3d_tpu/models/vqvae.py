@@ -248,12 +248,25 @@ class Encoder(nn.Module):
         # layout (the train step computes its loss there too, so the
         # full-resolution volume — and its strided s2d/d2s relayout copies —
         # never exist inside the step; see vqvae_train.vqvae_loss_fn).
+        #
+        # LITERAL STEM (stem_space_to_depth == 1) + folded_io: the caller
+        # delivers s2d(x, 2) and the level-0 front-end (parse_input + the
+        # first stride-2 resblock) runs in the folded domain via exact
+        # weight-space embeddings — no full-res C≤4 tensor ever exists, which
+        # is what lets converted reference checkpoints serve 512×512×128 on
+        # one 16 GB chip (XLA's padded-layout copies of such tensors OOM it;
+        # PERF.md). Parameter tree identical; the reference runs these
+        # volumes whole too (vqvae/calc_ssim_from_checkpoint.py:31-38).
+        lit_fold = folded_io and cfg.stem_space_to_depth == 1
+        if lit_fold:
+            assert scan_on, "literal folded serving needs pre-activation scan"
         if not folded_io:
             x = space_to_depth(x, cfg.stem_space_to_depth)
         x = Conv3D(
             features=cfg.base_network_channels,
             kernel_size=1,
             dtype=cfg.dtype,
+            fold=lit_fold,
             name="parse_input",
         )(x)
 
@@ -271,6 +284,7 @@ class Encoder(nn.Module):
                 packed=packed_on,
                 scan=scan_on,
                 remat_scan=cfg.remat,
+                fold_in=lit_fold and i == 0,
                 name=f"down_{i}",
             )(x)
             before *= 2 ** cfg.level_n_down(i)
@@ -399,6 +413,11 @@ class Decoder(nn.Module):
             cfg.packed_stacks == "auto" and cfg.block_type == "pre-activation"
         )
         scan_on = cfg.scan_stacks and cfg.block_type == "pre-activation"
+        # literal-stem folded serving (see Encoder): the last up resblock,
+        # its post-upscale stack and the out conv run in the folded domain
+        lit_fold = folded_io and cfg.stem_space_to_depth == 1
+        if lit_fold:
+            assert scan_on, "literal folded serving needs pre-activation scan"
 
         emb_dims = cfg.embedding_dims
 
@@ -460,6 +479,7 @@ class Decoder(nn.Module):
                 packed=packed_on,
                 scan=scan_on,
                 remat_scan=cfg.remat,
+                fold_out=lit_fold and i == 0,
                 name=f"up_{i}",
             )(h)
 
@@ -468,10 +488,14 @@ class Decoder(nn.Module):
             features=cfg.head_channels * f**3,
             kernel_size=1,
             dtype=cfg.dtype,
+            fold=lit_fold,
             name="out",
         )(out)
         # folded_io: leave the output in the stem's s2d layout (channel
-        # order (ph, pw, pd, head_ch) — what depth_to_space would unpack)
+        # order (ph, pw, pd, head_ch) — what depth_to_space would unpack).
+        # Literal stem + folded_io: the output is s2d(decoded, 2) — the
+        # level-0 back-end (last 'up' resblock + its post stack + out conv)
+        # ran in the folded domain; the host unfolds at IO time.
         return out if folded_io else depth_to_space(out, f)
 
 

@@ -430,6 +430,21 @@ class Conv3D(nn.Module):
 
     ``pad`` is either an int (symmetric on all three spatial dims) or a
     3-tuple of (lo, hi) pairs. Padding mode 'wrap' gives circular padding.
+
+    ``fold=True``: the input arrives in the 2× space-to-depth layout
+    (``s2d(x, 2)`` — 8·Cin channels on the half-res grid) and the conv runs
+    as its exact folded-domain weight embedding (ops/s2d_conv.py). The
+    PARAMETER TREE IS UNCHANGED (the embedding is a traced function of the
+    stock weights), so converted reference checkpoints load verbatim.
+    Foldedness of the OUTPUT depends on the kernel:
+      * 1×1×1 s1          → block-diagonal contraction, output FOLDED
+      * k3 s1 pad1        → k3s1_block_kernel, output FOLDED
+      * k4 s2 pad1        → k4s2p1_fold_kernel, output UNFOLDED (the
+                            stride-2 halving cancels the fold)
+      * k2 s2 pad0        → k2s2_fold_kernel, output UNFOLDED
+    This is the literal-stem (stem_space_to_depth=1) serving path: no
+    full-resolution C≤4 tensor ever exists on device (the padded-layout
+    copies XLA emits for such tensors OOM a 16 GB chip at 512-res; PERF.md).
     """
 
     features: int
@@ -442,11 +457,12 @@ class Conv3D(nn.Module):
     kernel_init: Callable = None  # default: torch conv default
     bias_init: Callable = nn.initializers.zeros_init()
     dtype: jnp.dtype | None = None  # compute dtype; None = input dtype
+    fold: bool = False  # input is s2d(x,2)-folded; see docstring
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = _triple(self.kernel_size)
-        cin = x.shape[-1]
+        cin = x.shape[-1] // 8 if self.fold else x.shape[-1]
         assert cin % self.groups == 0, (cin, self.groups)
         kernel_init = self.kernel_init or torch_conv_default_init()
         w = self.param(
@@ -463,6 +479,8 @@ class Conv3D(nn.Module):
             padding = self.pad
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if self.fold:
+            return self._fold_call(x, w, b, k, padding)
         return conv3d(
             x,
             w,
@@ -471,4 +489,50 @@ class Conv3D(nn.Module):
             padding=padding,
             pad_mode=self.pad_mode,
             groups=self.groups,
+        )
+
+    def _fold_call(self, x, w, b, k, padding):
+        from vqvae3d_tpu.ops import s2d_conv
+
+        assert self.groups == 1, "fold path: groups unsupported"
+        stride = _triple(self.stride)
+        pad_sym = tuple(padding)
+        if k == (1, 1, 1) and stride == (1, 1, 1):
+            out = conv3d(
+                x, s2d_conv.conv1x1_block_kernel(w), block_rewrite=False
+            )
+            if b is not None:
+                out = out + jnp.tile(b.astype(out.dtype), 8)
+            return out
+        if k == (3, 3, 3) and stride == (1, 1, 1) and pad_sym == ((1, 1),) * 3:
+            out = conv3d(
+                x,
+                s2d_conv.k3s1_block_kernel(w),
+                padding=[(1, 1)] * 3,
+                pad_mode=self.pad_mode,
+                block_rewrite=False,
+            )
+            if b is not None:
+                out = out + jnp.tile(b.astype(out.dtype), 8)
+            return out
+        if k == (4, 4, 4) and stride == (2, 2, 2) and pad_sym == ((1, 1),) * 3:
+            out = conv3d(
+                x,
+                s2d_conv.k4s2p1_fold_kernel(w),
+                padding=[(1, 1)] * 3,
+                pad_mode=self.pad_mode,
+                block_rewrite=False,
+            )
+            if b is not None:
+                out = out + b.astype(out.dtype)
+            return out
+        if k == (2, 2, 2) and stride == (2, 2, 2) and pad_sym == ((0, 0),) * 3:
+            out = conv3d(
+                x, s2d_conv.k2s2_fold_kernel(w), block_rewrite=False
+            )
+            if b is not None:
+                out = out + b.astype(out.dtype)
+            return out
+        raise NotImplementedError(
+            f"fold path: kernel {k} stride {stride} pad {pad_sym}"
         )

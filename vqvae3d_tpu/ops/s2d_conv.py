@@ -46,6 +46,50 @@ from vqvae3d_tpu.ops.conv3d import conv3d, k4s2_block_kernel
 from vqvae3d_tpu.ops.resize import depth_to_space, space_to_depth
 
 
+def k4s2p1_fold_kernel(w: jax.Array) -> jax.Array:
+    """(4,4,4,C,Co) -> (3,3,3,8C,Co): k4-stride2-PAD1 conv as a pad-1
+    stride-1 conv taking an ALREADY-FOLDED s2d(x,2) input.
+
+    Unlike ``k4s2_block_kernel`` (which handles the pre-padded VALID form
+    and needs the pad applied at full resolution first), this kernel folds
+    the pad too: out[q] = Σ_k w[k]·x[2q+k−1]; writing 2q+k−1 = 2(q+δ)+s
+    places tap k at folded offset δ = (k−1)//2 ∈ {−1,0,1}, input phase
+    s = (k−1) mod 2 — a 3-tap folded conv with 'same' pad 1. Padding the
+    FOLDED tensor by 1 is exact for both modes: tap δ=−1 reads only
+    phase 1 of block −1 (= x[−1], the wrapped/zero full-res pad) and
+    δ=+1 only phase 0 of block N/2 (= x[N]). Output lands on the folded
+    grid with UNfolded channels — the stride-2 halving and the fold
+    cancel. Used by the literal-stem (stem=1) folded serving path
+    (reference down convs: vqvae/layers.py:124-151).
+    """
+    assert w.shape[:3] == (4, 4, 4), w.shape
+    sel = np.zeros((3, 2), np.int64)  # [j, s] -> k+1 (0 = no tap)
+    for j in range(3):
+        for s in range(2):
+            k = 2 * (j - 1) + s + 1
+            if 0 <= k <= 3:
+                sel[j, s] = k + 1
+    wp = jnp.pad(w, ((1, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    s0 = jnp.asarray(sel)
+    wb = wp[
+        s0[:, :, None, None, None, None],
+        s0[None, None, :, :, None, None],
+        s0[None, None, None, None, :, :],
+    ]
+    # (j0,s0,j1,s1,j2,s2,C,Co) -> (j0,j1,j2,s0,s1,s2,C,Co)
+    wb = wb.transpose(0, 2, 4, 1, 3, 5, 6, 7)
+    c, co = w.shape[3:]
+    return wb.reshape(3, 3, 3, 8 * c, co)
+
+
+def k2s2_fold_kernel(w: jax.Array) -> jax.Array:
+    """(2,2,2,C,Co) -> (1,1,1,8C,Co): k2-stride2 conv on an already-folded
+    s2d(x,2) input is a plain channel contraction (pure reshape — the taps
+    ARE the phases). Output on the folded grid with unfolded channels."""
+    assert w.shape[:3] == (2, 2, 2), w.shape
+    return w.reshape(1, 1, 1, 8 * w.shape[3], w.shape[4])
+
+
 def conv_k4s2_via_s2d(xp: jax.Array, w: jax.Array) -> jax.Array:
     """k4-stride2 VALID conv on pre-padded NDHWC ``xp`` via block space.
 

@@ -601,6 +601,26 @@ def _host_slices_threshold(env_name: str, default: int) -> int:
     return int(os.environ.get(env_name, str(default)))
 
 
+def _slices_per_exec(s0: int, env_name: str, default: int) -> int:
+    """Slices per device execution for the host-sliced drivers.
+
+    r5 (VERDICT r4 #2): one dispatch PER SLICE paid ~host-RTT × s0 of
+    non-device time (measured: tools/profile_sample.py — at the top grid
+    ~69 ms/slice wall vs ~23 ms/slice device). Chunking k slices into one
+    execution (a fori_loop over the same slice_body — identical math,
+    identical carry chain) divides the dispatch count by k while keeping
+    per-execution device time far below the tunneled runtime's ~60 s
+    watchdog. Clamped to a divisor of s0 so every execution runs the same
+    static trip count (one compiled executable)."""
+    import os
+
+    req = int(os.environ.get(env_name, str(default)))
+    req = max(1, min(req, s0))
+    while s0 % req:
+        req -= 1
+    return req
+
+
 def make_cached_sampler(
     model,
     dims: Tuple[int, int, int],
@@ -643,11 +663,13 @@ def make_cached_sampler(
 
         return sampler
 
+    chunk = _slices_per_exec(dims[0], "VQVAE3D_SLICES_PER_EXEC", 16)
+
     def _step(params, condition_idx, i0, carry):
         slice_body, _ = _build_slice_body(
             model, params, dims, batch_size, condition_idx, tau, row_kernel
         )
-        return slice_body(i0, carry)
+        return jax.lax.fori_loop(i0, i0 + chunk, slice_body, carry)
 
     step = jax.jit(_step, donate_argnums=(3,))
 
@@ -668,7 +690,7 @@ def make_cached_sampler(
         # caller's buffer (callers legitimately reuse their key object)
         x0, dvc0 = _init(params, condition_idx)
         carry = (x0, jnp.array(rng, copy=True), dvc0)
-        for i0 in range(dims[0]):
+        for i0 in range(0, dims[0], chunk):
             carry = step(params, condition_idx, jnp.int32(i0), carry)
         return _finish(carry[0])
 

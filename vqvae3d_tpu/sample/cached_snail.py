@@ -1035,11 +1035,17 @@ def make_cached_snail_sampler(
 
         return sampler
 
+    # chunk k slices per device execution (same slice_body under a
+    # fori_loop — identical carry chain; see cached_sample._slices_per_exec)
+    from vqvae3d_tpu.sample.cached_sample import _slices_per_exec
+
+    chunk = _slices_per_exec(dims[0], "VQVAE3D_SNAIL_SLICES_PER_EXEC", 8)
+
     def _step(params, condition_idx, i0, carry):
         slice_body, _ = _build_slice_body(
             model, params, dims, batch_size, condition_idx, tau
         )
-        return slice_body(i0, carry)
+        return jax.lax.fori_loop(i0, i0 + chunk, slice_body, carry)
 
     step = jax.jit(_step, donate_argnums=(3,))
 
@@ -1064,7 +1070,7 @@ def make_cached_snail_sampler(
             x0, jnp.array(rng, copy=True), kh0, vh0, kw0, vw0, logits0,
             dvc0, kd0, vd0,
         )
-        for i0 in range(dims[0]):
+        for i0 in range(0, dims[0], chunk):
             carry = step(params, condition_idx, jnp.int32(i0), carry)
         return _finish(carry[0])
 
