@@ -67,6 +67,11 @@ def module_times(trace_dir: str):
 
 
 def build_top():
+    """Returns (step(i0, carry), carry0, dims) with params/condition passed
+    as jit ARGUMENTS — closing over them would bake the precomputed
+    condition-layer caches (~hundreds of MB at the top grid) into the
+    program as constants, which the remote AOT compile service rejects
+    with HTTP 413 (discovered r5 — why r4 never recorded this split)."""
     from vqvae3d_tpu.models.pixelcnn import PixelCNN, PixelCNNConfig
     from vqvae3d_tpu.train.prior_train import create_prior_train_state
 
@@ -89,10 +94,14 @@ def build_top():
     )
     from vqvae3d_tpu.sample.cached_sample import _build_slice_body
 
-    slice_body, carry0 = _build_slice_body(
-        model, params, dims, batch, cond, 0.1
-    )
-    return slice_body, carry0, dims
+    def _step(params, cond, i0, carry):
+        slice_body, _ = _build_slice_body(model, params, dims, batch, cond, 0.1)
+        return slice_body(i0, carry)
+
+    _, (x0, dvc0) = _build_slice_body(model, params, dims, batch, cond, 0.1)
+    step = jax.jit(_step, donate_argnums=(3,))
+    carry0 = (x0, jax.random.PRNGKey(0), dvc0)
+    return (lambda i0, c: step(params, cond, i0, c)), carry0, dims
 
 
 def build_mid():
@@ -113,11 +122,16 @@ def build_mid():
     ).params
     from vqvae3d_tpu.sample.cached_snail import _build_slice_body
 
-    slice_body, inits = _build_slice_body(model, params, dims, batch)
+    def _step(params, i0, carry):
+        slice_body, _ = _build_slice_body(model, params, dims, batch)
+        return slice_body(i0, carry)
+
+    step = jax.jit(_step, donate_argnums=(2,))
+    _, inits = _build_slice_body(model, params, dims, batch)
     x0, kh0, vh0, kw0, vw0, logits0, dvc0, kd0, vd0 = inits
     rng = jax.random.PRNGKey(0)
     carry0 = (x0, rng, kh0, vh0, kw0, vw0, logits0, dvc0, kd0, vd0)
-    return slice_body, carry0, dims
+    return (lambda i0, c: step(params, i0, c)), carry0, dims
 
 
 def main():
@@ -131,14 +145,10 @@ def main():
     enable_compilation_cache()
 
     if args.level == "top":
-        slice_body, carry0_no_rng, dims = build_top()
-        x0, dvc0 = carry0_no_rng
-        carry0 = (x0, jax.random.PRNGKey(0), dvc0)
+        step, carry0, dims = build_top()
     else:
-        slice_body, carry0, dims = build_mid()
+        step, carry0, dims = build_mid()
     s0 = dims[0]
-
-    step = jax.jit(slice_body, donate_argnums=(1,))
 
     def fresh():
         return jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), carry0)
