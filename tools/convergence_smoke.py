@@ -22,6 +22,7 @@ import argparse
 import os
 import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +31,58 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def make_diverse_ct_dir(root: str, n_vols: int, res: int, depth: int, seed=0):
+    """Synthetic CT scans with REAL content diversity (r5, VERDICT r4 #5):
+    air background, a random soft-tissue body cylinder, 20-60 random
+    ellipsoids spanning the HU range (air pockets, fat, soft tissue,
+    contrast, bone), a smooth gain field and quantized noise. The r4
+    artifact's near-constant volumes let the codebook collapse to
+    perplexity ~1.6 while utilization pinned 1.0 — on this data a high
+    perplexity plateau is a real health signal, not a tautology."""
+    from vqvae3d_tpu.data import nrrd_io
+
+    d = Path(root)
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32)
+    zz = np.arange(depth, dtype=np.float32)
+    for i in range(n_vols):
+        vol = np.full((res, res, depth), -1000.0, np.float32)  # air
+        # body cylinder (soft tissue) with random center/radius
+        cy, cx = rng.uniform(0.4, 0.6, 2) * res
+        r_body = rng.uniform(0.3, 0.45) * res
+        body = ((yy - cy) ** 2 + (xx - cx) ** 2) < r_body**2
+        vol[body] = rng.uniform(-80, 80)
+        # random ellipsoids across the HU range
+        for _ in range(int(rng.integers(20, 60))):
+            ey, ex = rng.uniform(0.2, 0.8, 2) * res
+            ez = rng.uniform(0.1, 0.9) * depth
+            ry, rx = rng.uniform(4, res * 0.12, 2)
+            rz = rng.uniform(2, depth * 0.25)
+            hu = rng.choice(
+                [rng.uniform(-950, -700), rng.uniform(-120, -60),
+                 rng.uniform(0, 120), rng.uniform(150, 400),
+                 rng.uniform(500, 1500)]
+            )
+            dist = (
+                ((yy - ey) / ry) ** 2 + ((xx - ex) / rx) ** 2
+            )[:, :, None] + (((zz - ez) / rz) ** 2)[None, None, :]
+            vol[dist < 1.0] = hu
+        # smooth gain field + quantized noise
+        gain = 1.0 + 0.1 * np.sin(yy / res * np.pi * rng.uniform(1, 3))
+        vol = vol * gain[:, :, None]
+        vol += (rng.integers(-2, 3, size=vol.shape) * 15).astype(np.float32)
+        nrrd_io.write(
+            d / f"scan{i}.nrrd",
+            np.clip(vol, -1200, 2800).astype(np.int16),
+            header={"spacings": (0.976, 0.976, 3)},
+        )
+    return str(d)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--data", default="/tmp/ct_conv")
+    p.add_argument("--data", default="/tmp/ct_conv_r5")
     p.add_argument("--out", default="/tmp/conv_run")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--resume-steps", type=int, default=200)
@@ -40,6 +90,14 @@ def main():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--workers", type=int, default=5)
+    p.add_argument("--res", type=int, default=256,
+                   help="generate/read scans at this (H, W); 256 = the "
+                        "published downscaled config's resolution without "
+                        "a host rescale, so the fused folded reader + "
+                        "volume cache apply")
+    p.add_argument("--n-vols", type=int, default=12)
+    p.add_argument("--cache", default=None,
+                   help="volume-cache dir (default <data>_cache)")
     args = p.parse_args()
 
     from vqvae3d_tpu.cli.common import MetricLogger, enable_compilation_cache
@@ -67,22 +125,26 @@ def main():
         base_lr=args.lr,
     )
     model = VQVAE(cfg)
+    if not (Path(args.data).exists() and list(Path(args.data).glob("*.nrrd"))):
+        print(f"generating {args.n_vols} diverse synthetic scans...", flush=True)
+        make_diverse_ct_dir(args.data, args.n_vols, args.res, 110)
+    cache = args.cache or (args.data.rstrip("/") + "_cache")
     dm = CTDataModule(
         args.data,
         batch_size=1,
         train_frac=1.0,
         num_workers=args.workers,
-        rescale_input=(256, 256, 128),
-        size=(512, 512, None),
+        size=(args.res, args.res, None),
+        cache_dir=cache,
     )
-    print(f"dataset: {dm.train_len} scans", flush=True)
+    print(f"dataset: {dm.train_len} scans (cache: {cache})", flush=True)
     fold = cfg.stem_space_to_depth
 
     # init on the UNFOLDED logical shape (the model's init path applies
     # its internal s2d stem; train batches arrive pre-folded)
     state = create_vqvae_train_state(
         model, jax.random.PRNGKey(42),
-        jnp.zeros((1, 256, 256, 128, 1), jnp.bfloat16),
+        jnp.zeros((1, args.res, args.res, 128, 1), jnp.bfloat16),
     )
     if latest_step(args.out) is not None:
         state = restore_checkpoint(args.out, state)
