@@ -148,6 +148,97 @@ def test_double_fold_matches_plain(pad_mode):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+def _make_ndhwc_stack(nb, b, d, h, w, c, cb, seed=0):
+    """Plain NDHWC activation + stock weights for the 0-fold kernel tier
+    (C and Cb deliberately NOT multiples of 8 to stress lane padding)."""
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, d, h, w, c)), jnp.float32)
+    blocks = []
+    for _ in range(nb):
+        w1 = jnp.asarray(rng.normal(size=(1, 1, 1, c, cb)) * 0.3, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(3, 3, 3, cb, cb)) * 0.2, jnp.float32)
+        w3 = jnp.asarray(rng.normal(size=(1, 1, 1, cb, c)) * 0.3, jnp.float32)
+        sc = tuple(
+            jnp.asarray(rng.normal(size=(1,)) * 0.1, jnp.float32)
+            for _ in range(7)
+        ) + (jnp.asarray([1.0 + 0.1 * rng.normal()], jnp.float32),)
+        blocks.append((w1, w2, w3, sc))
+    return x, blocks
+
+
+def _fused_zero_fold(x, blocks, pad_mode):
+    """The exact call apply_same_stack makes at stack_fold == 0: stock
+    weight stacks, no embedding, kernel runs on the unfolded activation."""
+    w1e = jnp.stack([w1[0, 0, 0] for w1, _, _, _ in blocks]).astype(x.dtype)
+    w2e = jnp.stack([w2 for _, w2, _, _ in blocks]).astype(x.dtype)
+    w3e = jnp.stack([w3[0, 0, 0] for _, _, w3, _ in blocks]).astype(x.dtype)
+    sc8 = jnp.stack([jnp.concatenate(sc) for _, _, _, sc in blocks])
+    return preact_stack_fused(x, w1e, w2e, w3e, sc8, pad_mode, True)
+
+
+@pytest.mark.parametrize("pad_mode", ["wrap", "zeros"])
+@pytest.mark.parametrize(
+    "nb,b,d,h,w,c,cb",
+    [
+        (3, 1, 8, 6, 4, 9, 5),  # odd widths, lane-padded
+        (2, 1, 4, 4, 2, 12, 6),  # depth-2 minor (the 8x8x2 level-2 shape)
+    ],
+)
+def test_zero_fold_fwd_matches_ndhwc(pad_mode, nb, b, d, h, w, c, cb):
+    """0-fold tier (VERDICT-r4 #7): the kernel on an UNFOLDED activation
+    with stock weights equals the plain NDHWC block loop — the path the
+    512-res level-1 (C=72) and level-2 (8x8x2) stacks now take."""
+    from vqvae3d_tpu.models.blocks import preact_fixup_same_ndhwc
+
+    x, blocks = _make_ndhwc_stack(nb, b, d, h, w, c, cb, seed=21)
+    ref = x
+    for w1, w2, w3, sc in blocks:
+        ref = preact_fixup_same_ndhwc(ref, w1, w2, w3, sc, pad_mode=pad_mode)
+    got = _fused_zero_fold(x, blocks, pad_mode)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("pad_mode", ["wrap", "zeros"])
+def test_zero_fold_grads_match_ndhwc(pad_mode):
+    from vqvae3d_tpu.models.blocks import preact_fixup_same_ndhwc
+
+    x, blocks = _make_ndhwc_stack(3, 1, 8, 6, 4, 9, 5, seed=23)
+
+    def loss_ref(x, blocks):
+        h = x
+        for w1, w2, w3, sc in blocks:
+            h = preact_fixup_same_ndhwc(h, w1, w2, w3, sc, pad_mode=pad_mode)
+        return jnp.sum(jnp.sin(h))
+
+    def loss_fused(x, blocks):
+        return jnp.sum(jnp.sin(_fused_zero_fold(x, blocks, pad_mode)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, blocks)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1))(x, blocks)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_fus)
+    ):
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4)
+
+
+def test_stack_fold_policy_zero_fold_tier():
+    """The 512-res full-config stacks the r4 trace left on XLA scans now
+    dispatch to the unfolded resident kernel; unsupported cases stay None."""
+    from vqvae3d_tpu.ops.stack_kernel import stack_fold
+
+    bf16 = jnp.bfloat16
+    # decoder level-1 C=72 @(32,32,8): C>32, fold tiers can't fire -> 0
+    assert stack_fold((1, 32, 32, 8, 72), 50, bf16, cb=36) == 0
+    # level-2 C=32 @(8,8,2): depth 2 can't halve -> 0
+    assert stack_fold((1, 8, 8, 2, 32), 50, bf16, cb=16) == 0
+    # short stacks (up/down, 2-5 blocks) stay on the XLA paths
+    assert stack_fold((1, 8, 8, 2, 32), 3, bf16, cb=16) is None
+    # a wide stack too big for resident VMEM stays unsupported
+    assert stack_fold((1, 128, 128, 32, 72), 50, bf16, cb=36) is None
+    # the existing fold tiers are untouched
+    assert stack_fold((1, 8, 8, 8, 2), 2, jnp.float32) == 2
+
+
 def test_fwd_bf16_close():
     x, blocks = _make_stack(2, 1, 8, 4, 4, 2, seed=5)
     xb = x.astype(jnp.bfloat16)

@@ -315,6 +315,72 @@ def test_stack_streaming():
         sk._MAX_VOLUME_BYTES = cap
 
 
+def test_stack_zero_fold():
+    """0-fold resident megakernel (r5, VERDICT-r4 #7) COMPILED at the real
+    512-res full-config shapes the fold tiers can't reach: decoder level-1
+    C=72 cb=36 @(32,32,8) and level-2 C=32 cb=16 @(8,8,2) — vs the plain
+    NDHWC block loop (kernel runs the stock weights unfolded)."""
+    from vqvae3d_tpu.models.blocks import preact_fixup_same_ndhwc
+    from vqvae3d_tpu.ops.stack_kernel import preact_stack_fused, stack_fold
+
+    def _blocks(nb, c, cb, seed):
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(nb):
+            w1 = jnp.asarray(
+                rng.normal(size=(1, 1, 1, c, cb)) * 0.3, jnp.float32
+            )
+            w2 = jnp.asarray(
+                rng.normal(size=(3, 3, 3, cb, cb)) * 0.2, jnp.float32
+            )
+            w3 = jnp.asarray(
+                rng.normal(size=(1, 1, 1, cb, c)) * 0.3, jnp.float32
+            )
+            sc = tuple(
+                jnp.asarray(rng.normal(size=(1,)) * 0.1, jnp.float32)
+                for _ in range(7)
+            ) + (jnp.asarray([0.2], jnp.float32),)
+            out.append((w1, w2, w3, sc))
+        return out
+
+    for shape, c, cb in (((1, 32, 32, 8, 72), 72, 36), ((1, 8, 8, 2, 32), 32, 16)):
+        assert stack_fold(shape, 50, jnp.bfloat16, cb=cb) == 0, shape
+        nb = 6
+        blocks = _blocks(nb, c, cb, seed=c)
+        rng = np.random.default_rng(c + 1)
+        x = jnp.asarray(rng.normal(size=shape) * 0.1, jnp.bfloat16)
+        w1e = jnp.stack([w1[0, 0, 0] for w1, *_ in blocks]).astype(x.dtype)
+        w2e = jnp.stack([w2 for _, w2, *_ in blocks]).astype(x.dtype)
+        w3e = jnp.stack([w3[0, 0, 0] for _, _, w3, _ in blocks]).astype(x.dtype)
+        sc8 = jnp.stack([jnp.concatenate(s) for *_, s in blocks])
+
+        for pad in ("wrap", "zeros"):
+
+            def ref(x):
+                h = x
+                for w1, w2, w3, sc in blocks:
+                    h = preact_fixup_same_ndhwc(h, w1, w2, w3, sc, pad_mode=pad)
+                return h
+
+            def fused(x):
+                return preact_stack_fused(x, w1e, w2e, w3e, sc8, pad, False)
+
+            y_r = jax.jit(ref)(x)
+            y_f = jax.jit(fused)(x)
+            scale = float(jnp.max(jnp.abs(y_r.astype(jnp.float32))))
+            check(f"stack-0fold fwd C={c} pad={pad}", _maxdiff(y_f, y_r),
+                  0.02 * max(scale, 1.0), scale=scale)
+            g_r = jax.jit(
+                jax.grad(lambda x: jnp.sum(jnp.sin(ref(x).astype(jnp.float32))))
+            )(x)
+            g_f = jax.jit(
+                jax.grad(lambda x: jnp.sum(jnp.sin(fused(x).astype(jnp.float32))))
+            )(x)
+            gscale = float(jnp.max(jnp.abs(g_r.astype(jnp.float32))))
+            check(f"stack-0fold grad C={c} pad={pad}", _maxdiff(g_f, g_r),
+                  0.05 * max(gscale, 1.0), scale=gscale)
+
+
 def test_flash_dropout():
     """Pallas flash attention with IN-KERNEL logit dropout
     (ops/flash_dropout_attention.py): runs the pytest module that the CPU
@@ -570,6 +636,7 @@ ALL = {
     "fused_block": test_fused_block,
     "stack": test_stack_kernel,
     "stack_streaming": test_stack_streaming,
+    "stack_zero_fold": test_stack_zero_fold,
     "causal_megakernel": test_causal_megakernel,
     "row_decode": test_row_decode,
 }

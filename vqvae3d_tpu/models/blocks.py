@@ -795,9 +795,9 @@ def apply_same_stack(
                 x.shape, n_blocks, x.dtype, cb=stacked[0].shape[-1]
             )
             if (enabled and on_tpu)
-            else 0
+            else None
         )
-        if folds:
+        if folds is not None:  # 0 = run the kernel unfolded
             w1s, w2s, w3s, scs = stacked
             w1e, w2e, w3e = w1s, w2s, w3s
             for _ in range(folds):

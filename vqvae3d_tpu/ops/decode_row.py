@@ -64,18 +64,19 @@ def _row_kernel(
     # width weights
     w1_ref,  # (L, C, br)
     wk_ref,  # (L, ws, br, br)
-    w3_ref,  # (L, br, C)
-    skw_ref,  # (L, C, C)
-    skb_ref,  # (L, C)
+    w3sk_ref,  # (L, br+C, C): [w3*scale ; skip] merged — the layer's two
+    #            output-side dots (w3 out-proj and skip 1x1) run as ONE
+    #            MXU op, cutting the per-layer critical path 4 dots -> 3
+    skb2_ref,  # (L, C): b4 + skip bias (folded)
     sc_ref,  # (L, 8) SMEM: b1a b1b b2a b2b b3a b3b b4 scale
+    #          (6/7 pre-folded into w3sk/skb2; kernel reads 0-5 only)
     # height weights
     hw1_ref,  # (L, C, br)
     herf_ref,  # (L, br, br)
     herfb_ref,  # (L, br)
     hwk_ref,  # (L, 2, 3, br, br)
-    hw3_ref,  # (L, br, C)
-    hskw_ref,  # (L, C, C)
-    hskb_ref,  # (L, C)
+    hw3sk_ref,  # (L, br+C, C): merged as w3sk
+    hskb2_ref,  # (L, C)
     # per-row data
     d2h_ref,  # (L, B, s2, br)
     d2w_ref,  # (L, B, s2, br)
@@ -152,9 +153,11 @@ def _row_kernel(
         vhc_out_ref[li] = v
         b2 = b2 + cnd_ref[li]
         w3v = _elu(b2 + sc_ref[li, 4]) + sc_ref[li, 5]
-        out = dot(w3v, hw3_ref[li]) * sc_ref[li, 7] + sc_ref[li, 6]
         sk_in = (sprev if first else h) if l0_skip else h
-        h = out + dot(sk_in, hskw_ref[li]) + hskb_ref[li]
+        h = (
+            dot(jnp.concatenate([w3v, sk_in], axis=-1), hw3sk_ref[li])
+            + hskb2_ref[li]
+        )
     hfin_scr[:] = h
 
     # ---- phase 2: voxel chain + sampling ----
@@ -185,9 +188,11 @@ def _row_kernel(
             vc[li, :, ws - 2] = v
             b2 = b2 + cnd_ref[li, :, i2]
             w3v = _elu(b2 + sc_ref[li, 4]) + sc_ref[li, 5]
-            out = dot(w3v, w3_ref[li]) * sc_ref[li, 7] + sc_ref[li, 6]
             sk_in = (s_prev if first else w) if l0_skip else w
-            w = out + dot(sk_in, skw_ref[li]) + skb_ref[li]
+            w = (
+                dot(jnp.concatenate([w3v, sk_in], axis=-1), w3sk_ref[li])
+                + skb2_ref[li]
+            )
         total = dfin_ref[:, i2] + hfin_scr[:, i2] + w
         logits = dot(total, w_out_ref[:]) + b_out_ref[0]
         if forced:
@@ -199,6 +204,9 @@ def _row_kernel(
             m = jnp.max(z, axis=-1, keepdims=True)
             idx = jnp.min(jnp.where(z >= m, iota_k, K), axis=-1)
         out_ref[i2, 0] = idx
+        if B == 1:
+            # the embed matmul off the chain: one dynamic sublane-dim read
+            return w_in_ref[idx[0]][None] + b_in
         one_hot = (iota_k == idx[:, None]).astype(f32)
         return dot(one_hot, w_in_ref[:]) + b_in
 
@@ -259,10 +267,19 @@ def stack_row_weights(layers, w_in, b_in, w_out, b_out):
         [lp.c2["height_conv"]["kernel"][0].astype(f32) for lp in layers]
     )
     hw3 = jnp.stack([k1(lp.c3, "height_conv") for lp in layers])
+    # Fold the per-layer scale/b4 into the output projection and merge it
+    # with the skip 1x1 so the kernel's two output-side dots become one:
+    # out*scale + b4 + sk_in@skw + skb == [w3v|sk_in] @ [w3*scale; skw]
+    # + (b4 + skb). (fp reassociation only — low-bit logit differences.)
+    scale = sc[:, 7][:, None, None]
+    b4 = sc[:, 6][:, None]
     return dict(
-        w1=w1, wk=wk, w3=w3, skw=skw, skb=skb, sc=sc,
-        hw1=hw1, herf=herf, herfb=herfb, hwk=hwk, hw3=hw3,
-        hskw=hskw, hskb=hskb,
+        w1=w1, wk=wk, sc=sc,
+        w3sk=jnp.concatenate([w3 * scale, skw], axis=1),
+        skb2=b4 + skb,
+        hw1=hw1, herf=herf, herfb=herfb, hwk=hwk,
+        hw3sk=jnp.concatenate([hw3 * scale, hskw], axis=1),
+        hskb2=b4 + hskb,
         w_in=w_in[0, 0, 0].astype(f32), b_in=b_in.reshape(1, -1).astype(f32),
         w_out=w_out[0, 0, 0].astype(f32),
         b_out=b_out.reshape(1, -1).astype(f32),
@@ -306,7 +323,7 @@ def row_decode(
     )
     out, vhc_out, logits = pl.pallas_call(
         kern,
-        in_specs=[smem] + [vmem] * 5 + [smem] + [vmem] * 19,
+        in_specs=[smem] + [vmem] * 4 + [smem] + [vmem] * 18,
         out_specs=[vmem, vmem, vmem],
         out_shape=[
             jax.ShapeDtypeStruct((s2, 1, B), jnp.int32),
@@ -321,10 +338,10 @@ def row_decode(
         interpret=interpret,
     )(
         jnp.asarray(i1, jnp.int32).reshape(1),
-        stacked["w1"], stacked["wk"], stacked["w3"], stacked["skw"],
-        stacked["skb"], stacked["sc"],
+        stacked["w1"], stacked["wk"], stacked["w3sk"], stacked["skb2"],
+        stacked["sc"],
         stacked["hw1"], stacked["herf"], stacked["herfb"], stacked["hwk"],
-        stacked["hw3"], stacked["hskw"], stacked["hskb"],
+        stacked["hw3sk"], stacked["hskb2"],
         d2h_row.astype(f32), d2w_row.astype(f32), cnd_row.astype(f32),
         dfin_row.astype(f32), sprev_row.astype(f32), vhc.astype(f32),
         stacked["w_in"], stacked["b_in"], stacked["w_out"], stacked["b_out"],

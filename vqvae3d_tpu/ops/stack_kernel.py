@@ -1330,10 +1330,13 @@ def _kernel_mode(shape, dtype, cb8: int) -> str | None:
     return None
 
 
-def stack_fold(shape, n_blocks: int, dtype, cb: int | None = None) -> int:
+def stack_fold(
+    shape, n_blocks: int, dtype, cb: int | None = None
+) -> int | None:
     """How many space-to-depth folds to apply before running the stack
-    megakernel on an NDHWC activation — 0 = unsupported (stay on the
-    XLA paths). ``cb`` is the blocks' bottleneck width (defaults to the
+    megakernel on an NDHWC activation — ``None`` = unsupported (stay on
+    the XLA paths); 0 = run the kernel UNFOLDED (see the 0-fold tier
+    below). ``cb`` is the blocks' bottleneck width (defaults to the
     architecture's C/2), used to size the VMEM estimate.
 
     Fold choice targets dense MXU lanes: 2 folds map C ≤ 4 stacks to
@@ -1349,9 +1352,9 @@ def stack_fold(shape, n_blocks: int, dtype, cb: int | None = None) -> int:
     70.2 ms forward+backward — vs ~500 ms fwd+bwd for the XLA block-space
     scan it replaces; on-device train step 416 → 272 ms (PERF.md)."""
     if os.environ.get("VQVAE3D_STACK_KERNEL", "1") == "0":
-        return 0
+        return None
     if len(shape) != 5 or n_blocks < 2:
-        return 0
+        return None
     _, d, h, w, c = shape
     itemsize = jnp.dtype(dtype).itemsize
     # MXU-executed cost per original voxel of the k3 conv at fold k is
@@ -1372,7 +1375,22 @@ def stack_fold(shape, n_blocks: int, dtype, cb: int | None = None) -> int:
         cb8 = max(cb if cb is not None else c // 2, 1) * s**3
         if _kernel_mode((shape[0], df, hf, wf, c8), dtype, cb8) is not None:
             return k
-    return 0
+    # 0-fold tier (r5, VERDICT-r4 #7): stacks the fold tiers can't reach —
+    # C > 32 (already ≥56%-dense 128-lane tiles, e.g. the 512-res decoder
+    # level-1 C=72 stack) or spatial dims that can't halve (the level-2
+    # 8×8×2 grids) — still collapse a ~n_blocks-op sequential XLA scan
+    # (plus its per-iteration slice/relayout traffic, 91 ms of `while`
+    # op-time in the r4 512-res trace, PERF.md) into ONE resident
+    # pallas_call. Kernel math at 0 folds is the plain NDHWC block (the
+    # weight embedding is applied zero times). Resident-io only: the
+    # streaming/tiled variants displace XLA's copy/compute overlap when
+    # run in-situ (measured, see VQVAE3D_TILED_STACK above), while these
+    # sub-2 MB volumes load once and stay in VMEM. Depth ≥ 8 keeps the
+    # short post-up/down-scale stacks (2-5 blocks) on the XLA paths.
+    cbv = max(cb if cb is not None else c // 2, 1)
+    if n_blocks >= 8 and _kernel_mode(shape, dtype, cbv) == "resident":
+        return 0
+    return None
 
 
 def stack_fused_supported(shape, dtype, cb8: int | None = None) -> bool:
