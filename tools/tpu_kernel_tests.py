@@ -324,17 +324,24 @@ def test_stack_zero_fold():
     from vqvae3d_tpu.ops.stack_kernel import preact_stack_fused, stack_fold
 
     def _blocks(nb, c, cb, seed):
+        # 1/sqrt(fan-in)-scaled weights (the Fixup-init regime): at these
+        # widths O(0.3) weights grow activations ~100x over the stack and
+        # bf16 rounding amplifies past any usable tolerance in BOTH the
+        # kernel and the XLA reference
         rng = np.random.default_rng(seed)
         out = []
         for _ in range(nb):
             w1 = jnp.asarray(
-                rng.normal(size=(1, 1, 1, c, cb)) * 0.3, jnp.float32
+                rng.normal(size=(1, 1, 1, c, cb)) * 0.8 / np.sqrt(c),
+                jnp.float32,
             )
             w2 = jnp.asarray(
-                rng.normal(size=(3, 3, 3, cb, cb)) * 0.2, jnp.float32
+                rng.normal(size=(3, 3, 3, cb, cb)) * 0.2 / np.sqrt(cb),
+                jnp.float32,
             )
             w3 = jnp.asarray(
-                rng.normal(size=(1, 1, 1, cb, c)) * 0.3, jnp.float32
+                rng.normal(size=(1, 1, 1, cb, c)) * 0.8 / np.sqrt(cb),
+                jnp.float32,
             )
             sc = tuple(
                 jnp.asarray(rng.normal(size=(1,)) * 0.1, jnp.float32)
