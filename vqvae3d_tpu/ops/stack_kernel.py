@@ -1388,7 +1388,11 @@ def stack_fold(
     # sub-2 MB volumes load once and stay in VMEM. Depth ≥ 8 keeps the
     # short post-up/down-scale stacks (2-5 blocks) on the XLA paths.
     cbv = max(cb if cb is not None else c // 2, 1)
-    if n_blocks >= 8 and _kernel_mode(shape, dtype, cbv) == "resident":
+    if (
+        os.environ.get("VQVAE3D_ZERO_FOLD_STACK", "1") == "1"
+        and n_blocks >= 8
+        and _kernel_mode(shape, dtype, cbv) == "resident"
+    ):
         return 0
     return None
 
